@@ -1,0 +1,223 @@
+"""One typed configuration tree for every entry point.
+
+The reference scatters configuration across four styles (.env, module-level
+constants, ``PipelineConfig`` dataclass, dict variants — see SURVEY.md §5
+"Config / flag system"; reference `tower_code/v1_usertower_train.py:21-60`,
+`gnn_model/v1_lightgcl.py:567-616`). Here there is exactly one tree of frozen
+dataclasses; every trainer / evaluator / server takes its node of the tree.
+
+Values mirror the reference's live hyperparameters so parity runs are
+apples-to-apples (item tower bs 192 / tau 0.08; user tower bs 768 / lr 5e-4;
+GNN bs 8192 / dim 64 — reference `utils/dependencies.py:71`,
+`item_tower.py:1076`, `v1_usertower_train.py:28-49`, `v1_lightgcl.py:567-616`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Sequence
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh topology. ``data`` shards the batch, ``model`` shards
+    embedding-table rows / the item matrix (SURVEY.md §2.12)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    # -1 -> use all devices on that axis; model_parallelism=1 means pure DP.
+    num_data: int = -1
+    num_model: int = 1
+
+
+@dataclass(frozen=True)
+class VocabConfig:
+    """Closed categorical vocab + LLM 'RE' field schema (reference
+    `utils/vocab.py:421-444`)."""
+
+    # path to a JSON {field: [values...]} file; None -> built-in default
+    std_vocab_path: str | None = None
+    num_hash_buckets: int = 1000  # md5-bucketed metadata ids (`v1_usertower_train.py:211-218`)
+    text_vocab_size: int = 8192   # own stateless hashing text tokenizer
+    max_field_tokens: int = 32    # per-RE-field token cap (`item_tower.py:443`)
+    max_name_tokens: int = 32
+
+
+@dataclass(frozen=True)
+class ItemTowerConfig:
+    """HybridItemTower-equivalent encoder (reference `item_tower.py:131-286`)."""
+
+    dim: int = 128
+    text_dim: int = 128            # own trainable text encoder width
+    text_layers: int = 2
+    text_heads: int = 4
+    fusion_layers: int = 2         # 2-layer fusion transformer (`item_tower.py:169-182`)
+    fusion_heads: int = 4
+    head_hidden: Sequence[int] = (256, 512)  # DeepResidualHead expansion (`item_tower.py:77-128`)
+    dropout: float = 0.1
+
+
+@dataclass(frozen=True)
+class SimCSEConfig:
+    """Stage-1 contrastive training (reference `item_tower.py:887-1127`)."""
+
+    batch_size: int = 192
+    temperature: float = 0.08
+    lr: float = 5e-5
+    text_encoder_lr: float = 1e-5  # analogue of the BERT param group (`item_tower.py:1012-1022`)
+    weight_decay: float = 0.01
+    epochs: int = 5
+    warmup_frac: float = 0.1
+    feature_dropout: float = 0.2   # view-corruption prob (`item_tower.py:341-394`)
+    global_negatives: bool = True  # all-gather embeddings across the data axis
+    metrics_every: int = 50        # alignment/uniformity cadence (`item_tower.py:1090`)
+
+
+@dataclass(frozen=True)
+class UserTowerConfig:
+    """SASRec user tower (reference `v1_refine_usertower.py:312-510`,
+    `PipelineConfig` at `v1_usertower_train.py:21-60`)."""
+
+    d_model: int = 128
+    max_len: int = 50
+    nhead: int = 4
+    num_layers: int = 2
+    dropout: float = 0.2
+    num_time_buckets: int = 10     # 9 edges -> 10 buckets (`v1_refine_usertower.py:212-214`)
+    num_side_fields: int = 4       # hashed metadata fields
+    static_bucket_fields: int = 4  # quantile-bucketed user features
+    static_cat_fields: int = 5     # low-card categorical user features
+    static_cont_fields: int = 4    # standardized continuous user features
+    bucket_emb_dim: int = 16
+    cat_emb_dim: int = 4
+    cont_proj_dim: int = 16
+
+
+@dataclass(frozen=True)
+class UserTrainConfig:
+    batch_size: int = 768
+    lr: float = 5e-4
+    weight_decay: float = 1e-4
+    epochs: int = 15
+    grad_clip: float = 5.0
+    temperature: float = 0.1
+    lambda_logq: float = 1.0
+    lambda_sup: float = 0.1        # DuoRec supervised weight
+    lambda_cl: float = 0.2         # DuoRec contrastive weight
+    top_k_percent: float = 0.01    # HNM mining fraction
+    hnm_threshold: float = 0.90    # "too similar" exclusion
+    hard_margin: float = 0.01
+    num_random_negs: int = 100
+    freeze_item_epochs: int = 1    # unfreeze at epoch 2 (`v1_usertower_train.py:968-982`)
+    unfrozen_item_lr_scale: float = 0.05
+    eval_ks: Sequence[int] = (20, 100, 500)
+
+
+@dataclass(frozen=True)
+class GNNConfig:
+    """LightGCL (reference `gnn_model/v1_lightgcl.py:567-616`)."""
+
+    emb_dim: int = 64
+    num_layers: int = 2
+    svd_rank: int = 5
+    svd_iters: int = 2
+    temperature: float = 0.2
+    lambda_ssl: float = 0.01
+    lambda_reg: float = 1e-5
+    batch_size: int = 8192
+    lr: float = 5e-3
+    epochs: int = 20
+    logit_clamp: float = 100.0
+
+
+@dataclass(frozen=True)
+class DistillConfig:
+    """Magnitude->cosine distillation (reference
+    `gnn_model/distill_mag_to_cos_l2.py`)."""
+
+    hidden_dim: int = 128
+    out_dim: int = 64
+    lr: float = 1e-3
+    epochs: int = 10
+    batch_size: int = 4096
+
+
+@dataclass(frozen=True)
+class RerankerConfig:
+    """DCN-v2 / DeepFM reranker (reference `temp_model/ranker_skelet.py`)."""
+
+    cross_layers: int = 3
+    deep_hidden: Sequence[int] = (128, 64)
+    fm_embed_dim: int = 16
+    dropout: float = 0.1
+    lr: float = 1e-3
+    epochs: int = 5
+    batch_size: int = 2048
+    neg_per_pos: int = 5           # 1:5 negative sampling (`utils/monitor/log_importer.py`)
+
+
+@dataclass(frozen=True)
+class ServeConfig:
+    host: str = "127.0.0.1"
+    port: int = 8000
+    batch_size: int = 192          # reference `utils/dependencies.py:71`
+    fast_mode_multiplier: int = 4  # `utils/inference_utils.py:155`
+    similarity_top_k: int = 50     # `APIController/controller.py:84-93`
+    db_path: str = "artifacts/serve.db"
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    root: str = "artifacts"
+    num_items: int = 2000
+    num_users: int = 1000
+    days: int = 120
+    valid_days: int = 7            # ground truth = last-7-day purchases
+    max_seq_len: int = 50
+    seed: int = 42
+
+
+@dataclass(frozen=True)
+class Config:
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    vocab: VocabConfig = field(default_factory=VocabConfig)
+    item_tower: ItemTowerConfig = field(default_factory=ItemTowerConfig)
+    simcse: SimCSEConfig = field(default_factory=SimCSEConfig)
+    user_tower: UserTowerConfig = field(default_factory=UserTowerConfig)
+    user_train: UserTrainConfig = field(default_factory=UserTrainConfig)
+    gnn: GNNConfig = field(default_factory=GNNConfig)
+    distill: DistillConfig = field(default_factory=DistillConfig)
+    reranker: RerankerConfig = field(default_factory=RerankerConfig)
+    serve: ServeConfig = field(default_factory=ServeConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+
+
+def _replace_tree(node: Any, overrides: Mapping[str, Any]) -> Any:
+    updates = {}
+    for key, value in overrides.items():
+        if not hasattr(node, key):
+            raise KeyError(f"unknown config key: {key!r} on {type(node).__name__}")
+        current = getattr(node, key)
+        if dataclasses.is_dataclass(current) and isinstance(value, Mapping):
+            updates[key] = _replace_tree(current, value)
+        else:
+            updates[key] = value
+    return dataclasses.replace(node, **updates)
+
+
+def load_config(path: str | None = None, overrides: Mapping[str, Any] | None = None) -> Config:
+    """Build the config tree, optionally from a JSON file plus overrides."""
+    cfg = Config()
+    if path is not None and os.path.exists(path):
+        with open(path) as f:
+            cfg = _replace_tree(cfg, json.load(f))
+    if overrides:
+        cfg = _replace_tree(cfg, overrides)
+    return cfg
+
+
+def to_dict(cfg: Any) -> dict:
+    return dataclasses.asdict(cfg)

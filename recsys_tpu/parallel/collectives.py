@@ -1,0 +1,76 @@
+"""Collective building blocks used inside ``shard_map`` regions.
+
+These are the TPU-native replacements for reference behaviors that were
+single-device matmuls (SURVEY.md §2.12):
+
+  * ``gather_global_negatives`` — the (B,B) in-batch similarity matrices
+    (reference `item_tower.py:1076`, `v1_refine_usertower.py:540`) become
+    (B_local, B_global) against an all-gathered embedding matrix.
+  * ``sharded_topk`` — full-catalog `U @ I^T` + top-k over a row-sharded item
+    matrix: per-shard matmul + topk, then a cross-shard merge on globally
+    re-indexed candidates.
+  * ``rowsharded_lookup`` — embedding lookup into a row-sharded table: every
+    shard answers for its own rows, results are summed across the model axis
+    (one psum instead of an all-to-all id exchange — ids are replicated
+    across the model axis so this is collective-minimal for small/mid tables).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gather_global_negatives(local_emb: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """All-gather per-device embeddings along ``axis_name`` into one global
+    negatives matrix (B_global, D). Gradient flows back through the local
+    slice only (jax differentiates all_gather correctly via reduce-scatter)."""
+    return jax.lax.all_gather(local_emb, axis_name, axis=0, tiled=True)
+
+
+def local_index_offset(axis_name: str, local_rows: int) -> jnp.ndarray:
+    """Global row offset of this shard's slice of a row-sharded table."""
+    return jax.lax.axis_index(axis_name) * local_rows
+
+
+def sharded_topk(scores_local: jnp.ndarray, k: int, axis_name: str):
+    """Top-k over the concatenation of per-shard score slices.
+
+    ``scores_local``: (B, N_local) — this shard's columns of the full (B, N)
+    score matrix. Returns (values, global_indices) each (B, k), identical on
+    every shard along ``axis_name``.
+
+    Strategy: local top-k, shift local indices to global ids, all-gather the
+    (B, k) candidates from each shard, and take the final top-k of the
+    (B, shards*k) merged pool — O(N/shards) work per shard plus an O(k)
+    merge, the standard distributed-top-k recipe.
+    """
+    n_local = scores_local.shape[-1]
+    k_local = min(k, n_local)
+    vals, idx = jax.lax.top_k(scores_local, k_local)
+    idx = idx + local_index_offset(axis_name, n_local)
+    # (shards, B, k_local) -> (B, shards*k_local)
+    all_vals = jax.lax.all_gather(vals, axis_name)
+    all_idx = jax.lax.all_gather(idx, axis_name)
+    merged_vals = jnp.moveaxis(all_vals, 0, 1).reshape(vals.shape[0], -1)
+    merged_idx = jnp.moveaxis(all_idx, 0, 1).reshape(idx.shape[0], -1)
+    top_vals, pos = jax.lax.top_k(merged_vals, min(k, merged_vals.shape[-1]))
+    top_idx = jnp.take_along_axis(merged_idx, pos, axis=-1)
+    return top_vals, top_idx
+
+
+def rowsharded_lookup(table_local: jnp.ndarray, ids: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Gather rows of a row-sharded (V_local, D) table for replicated ``ids``.
+
+    Each shard contributes its own rows (zeros elsewhere) and a psum merges.
+    Differentiable: the psum's transpose scatters cotangents back to the
+    owning shard.
+    """
+    n_local = table_local.shape[0]
+    offset = local_index_offset(axis_name, n_local)
+    local_ids = ids - offset
+    mine = (local_ids >= 0) & (local_ids < n_local)
+    safe = jnp.clip(local_ids, 0, n_local - 1)
+    rows = jnp.take(table_local, safe, axis=0)
+    rows = jnp.where(mine[..., None], rows, 0.0)
+    return jax.lax.psum(rows, axis_name)
