@@ -1,0 +1,246 @@
+"""Persona-driven synthetic H&M-style dataset + deterministic fake-LLM
+feature enrichment.
+
+The reference's test fixtures are a 2-item seed list plus a persona prompt
+that asks Gemini to synthesize purchase logs (SURVEY.md §4.4; reference
+`airflow/dags/temp_data.py`, `llm_model_sys_instructions/persona_t.md`).
+Here that generator is code: 16 personas (4 age bands x 2 genders x 2
+styles) with the prompt's statistical purchase-distribution guide (30%
+single-item / 30% two-item / 40% multi-item sessions), Zipf-skewed item
+popularity (so LogQ correction has something real to correct), and seasonal
+category drift.
+
+The fake LLM (`enrich_item`) implements the RE-feature contract of the
+reference prompts (`gemini_flash_compatible_with_Gemma-prompter.txt`: JSON
+of reinforced_feature_value per product; `description_tokenizer`: the 9
+[CAT]..[LOC] tag fields) as deterministic rules — measurement-ratio
+geometry tiers included — so CI needs no external LLM and enrichment is
+reproducible bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from recsys_tpu.config import DataConfig
+from recsys_tpu.data.vocab import DEFAULT_STD_VOCAB, RE_FEATURE_KEYS
+
+AGE_BANDS = ["18-24", "25-34", "35-49", "50+"]
+GENDERS = ["female", "male"]
+STYLES = ["trend", "classic"]
+
+# style -> preferred graphical appearances / sections; persona taste anchors
+_STYLE_APPEAR = {
+    "trend": ["print_all_over", "colour_block", "neon", "glitter", "print_placement"],
+    "classic": ["solid", "stripe", "check", "melange", "washed"],
+}
+_GENDER_SECTION = {
+    "female": ["womens_everyday", "womens_trend", "womens_classic", "womens_casual", "lingerie"],
+    "male": ["mens_basic", "mens_trend", "mens_classic", "sportswear"],
+}
+
+_UPPER = ["tshirt", "shirt", "blouse", "sweater", "hoodie", "cardigan", "top", "jacket", "coat", "blazer"]
+_LOWER = ["skirt", "trousers", "jeans", "shorts", "leggings"]
+_FULL = ["dress", "jumpsuit"]
+
+_MATERIALS = ["cotton", "linen", "wool", "polyester", "viscose", "denim", "leather", "silk", "jersey"]
+_DETAILS = ["ribbed", "pleated", "button_front", "zip", "pocket", "hooded", "collar", "ruffle", "seam"]
+_CONTEXTS = ["office", "weekend", "party", "sport", "beach", "lounge", "daily"]
+
+
+def _persona_id(age: str, gender: str, style: str) -> str:
+    return f"{gender}_{age}_{style}"
+
+
+def generate_items(cfg: DataConfig, rng: np.random.Generator) -> pd.DataFrame:
+    """Item master with STD fields, price, release day and measurements."""
+    n = cfg.num_items
+    types = DEFAULT_STD_VOCAB["product_type_name"]
+    rows = []
+    for i in range(n):
+        ptype = types[rng.integers(len(types))]
+        gender = GENDERS[rng.integers(2)]
+        style = STYLES[rng.integers(2)]
+        appear = _STYLE_APPEAR[style][rng.integers(5)]
+        colour = DEFAULT_STD_VOCAB["colour_group_name"][rng.integers(30)]
+        section = _GENDER_SECTION[gender][rng.integers(len(_GENDER_SECTION[gender]))]
+        dept = DEFAULT_STD_VOCAB["department_name"][rng.integers(22)]
+        pcv = DEFAULT_STD_VOCAB["perceived_colour_value_name"][rng.integers(7)]
+        material = _MATERIALS[rng.integers(len(_MATERIALS))]
+        detail = _DETAILS[rng.integers(len(_DETAILS))]
+        # garment measurements (cm) drive the fake-LLM geometry tiers
+        total_len = float(rng.uniform(40, 130))
+        chest_w = float(rng.uniform(35, 70))
+        waist_w = float(rng.uniform(30, 60))
+        hem_w = float(rng.uniform(30, 80))
+        rise = float(rng.uniform(18, 35))
+        rows.append({
+            "item_id": f"it{i:06d}",
+            "product_name": f"{colour} {material} {ptype} {detail}",
+            "product_type_name": ptype,
+            "graphical_appearance_name": appear,
+            "colour_group_name": colour,
+            "department_name": dept,
+            "section_name": section,
+            "perceived_colour_value_name": pcv,
+            "material": material,
+            "detail": detail,
+            "gender": gender,
+            "style": style,
+            "price": round(float(rng.lognormal(3.0, 0.5)), 2),
+            "release_day": int(rng.integers(0, max(cfg.days - 14, 1))),
+            "total_length": total_len,
+            "chest_width": chest_w,
+            "waist_width": waist_w,
+            "hem_width": hem_w,
+            "rise": rise,
+        })
+    return pd.DataFrame(rows)
+
+
+# -- fake LLM -------------------------------------------------------------
+
+def _vertical_balance(total_length: float, ptype: str) -> str:
+    """Measurement-ratio geometry tier: garment length class."""
+    if ptype in _LOWER or ptype in _FULL:
+        return "maxi" if total_length > 100 else ("midi" if total_length > 70 else "mini")
+    return "longline" if total_length > 75 else ("regular_length" if total_length > 55 else "cropped")
+
+
+def _width_flow(chest_w: float, hem_w: float) -> str:
+    ratio = hem_w / max(chest_w, 1e-6)
+    if ratio > 1.25:
+        return "a_line_flare"
+    if ratio < 0.85:
+        return "tapered"
+    return "straight_flow"
+
+
+def _waist_contour(waist_w: float, chest_w: float) -> str:
+    ratio = waist_w / max(chest_w, 1e-6)
+    if ratio < 0.8:
+        return "cinched_waist"
+    if ratio > 1.0:
+        return "relaxed_waist"
+    return "natural_waist"
+
+
+def _rise_tier(rise: float) -> str:
+    return "high_rise" if rise > 28 else ("mid_rise" if rise > 22 else "low_rise")
+
+
+def enrich_item(item: dict) -> dict:
+    """Deterministic RE-feature generation: the fake Gemini.
+
+    Returns ``{"reinforced_feature_value": {field: [tokens...]}}`` with the
+    nine RE fields, including the structural geometry tiers the reference
+    prompt specifies as explicit measurement-ratio rules."""
+    ptype = item["product_type_name"]
+    loc = ("lower_body" if ptype in _LOWER else
+           "full_body" if ptype in _FULL else
+           "accessory" if ptype in ("hat", "cap", "scarf", "gloves", "belt", "bag",
+                                    "earring", "necklace", "sunglasses") else
+           "feet" if ptype in ("shoes", "sneakers", "boots", "sandals", "socks", "tights") else
+           "upper_body")
+    geometry = [
+        _vertical_balance(item["total_length"], ptype),
+        _width_flow(item["chest_width"], item["hem_width"]),
+        _waist_contour(item["waist_width"], item["chest_width"]),
+    ]
+    if ptype in _LOWER:
+        geometry.append(_rise_tier(item["rise"]))
+    # contextual synthesis into an industry term, e.g. "cropped_tshirt"
+    synthesized = f"{geometry[0]}_{ptype}"
+    ctx = "sport" if "sport" in item["section_name"] else (
+        "party" if item["graphical_appearance_name"] in ("glitter", "metallic", "neon")
+        else "daily")
+    re_features = {
+        "CAT": [ptype, synthesized],
+        "MAT": [item["material"]],
+        "DET": [item["detail"], item["graphical_appearance_name"]],
+        "FIT": geometry,
+        "FNC": ["warm" if item["material"] in ("wool", "leather") else "breathable"],
+        "SPC": [item["style"]],
+        "COL": [item["colour_group_name"], item["perceived_colour_value_name"]],
+        "CTX": [ctx],
+        "LOC": [loc],
+    }
+    assert set(re_features) == set(RE_FEATURE_KEYS)
+    return {"reinforced_feature_value": re_features}
+
+
+def generate_users(cfg: DataConfig, rng: np.random.Generator) -> pd.DataFrame:
+    rows = []
+    for u in range(cfg.num_users):
+        age = AGE_BANDS[rng.integers(4)]
+        gender = GENDERS[rng.integers(2)]
+        style = STYLES[rng.integers(2)]
+        rows.append({
+            "user_id": f"us{u:06d}",
+            "age_group": age,
+            "gender": gender,
+            "style": style,
+            "persona": _persona_id(age, gender, style),
+            "club_member_status": ["active", "pre_create", "left"][rng.integers(3)],
+            "fashion_news_frequency": ["none", "regularly", "monthly"][rng.integers(3)],
+            "fn": int(rng.random() < 0.3),
+            "active": int(rng.random() < 0.7),
+        })
+    return pd.DataFrame(rows)
+
+
+def generate_transactions(cfg: DataConfig, items: pd.DataFrame, users: pd.DataFrame,
+                          rng: np.random.Generator) -> pd.DataFrame:
+    """Zipf-popular, persona-biased purchase log over ``cfg.days`` days."""
+    n_items = len(items)
+    # global popularity skew (Zipf) — the LogQ source
+    pop = 1.0 / np.arange(1, n_items + 1) ** 0.9
+    perm = rng.permutation(n_items)
+    base_pop = np.zeros(n_items)
+    base_pop[perm] = pop
+    item_gender = items["gender"].to_numpy()
+    item_style = items["style"].to_numpy()
+    release = items["release_day"].to_numpy()
+    price = items["price"].to_numpy()
+    item_ids = items["item_id"].to_numpy()
+
+    recs = []
+    for _, u in users.iterrows():
+        # taste mask: persona prefers matching gender & style items 4:1
+        affinity = np.where(item_gender == u["gender"], 4.0, 1.0)
+        affinity = affinity * np.where(item_style == u["style"], 2.0, 1.0)
+        n_sessions = int(rng.poisson(8)) + 1
+        days = np.sort(rng.integers(0, cfg.days, size=n_sessions))
+        for day in days:
+            avail = release <= day
+            w = base_pop * affinity * avail
+            total = w.sum()
+            if total <= 0:
+                continue
+            w = w / total
+            r = rng.random()
+            basket = 1 if r < 0.3 else (2 if r < 0.6 else int(rng.integers(3, 7)))
+            chosen = rng.choice(n_items, size=min(basket, int(avail.sum())),
+                                replace=False, p=w)
+            for c in chosen:
+                recs.append({
+                    "user_id": u["user_id"],
+                    "item_id": item_ids[c],
+                    "day": int(day),
+                    "price": float(price[c]),
+                    "channel": int(rng.random() < 0.7) + 1,  # 1=store, 2=online
+                })
+    df = pd.DataFrame(recs)
+    return df.sort_values(["day", "user_id"], kind="stable").reset_index(drop=True)
+
+
+def generate_dataset(cfg: DataConfig):
+    """items (enriched), users, transactions — the whole synthetic world."""
+    rng = np.random.default_rng(cfg.seed)
+    items = generate_items(cfg, rng)
+    enriched = [enrich_item(r) for r in items.to_dict("records")]
+    items["reinforced_feature"] = [e["reinforced_feature_value"] for e in enriched]
+    users = generate_users(cfg, rng)
+    tx = generate_transactions(cfg, items, users, rng)
+    return items, users, tx

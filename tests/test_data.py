@@ -1,0 +1,174 @@
+"""Data layer tests: vocab, tokenizer, synthetic world, ETL features,
+SASRec tensorization. The reference's inline guardrails (SURVEY.md §4.1)
+are encoded here as real assertions."""
+
+import numpy as np
+import pytest
+
+from recsys_tpu.config import DataConfig, UserTowerConfig, VocabConfig
+from recsys_tpu.data import etl, tokenizer as tok
+from recsys_tpu.data.dataset import (
+    IdMap,
+    build_sasrec_tensors,
+    build_side_info,
+    tokenize_items,
+)
+from recsys_tpu.data.synthetic import enrich_item, generate_dataset
+from recsys_tpu.data.vocab import PAD_ID, RE_FEATURE_KEYS, UNK_ID, StdVocab
+
+CFG = DataConfig(num_items=200, num_users=80, days=60, seed=7)
+
+
+@pytest.fixture(scope="module")
+def world():
+    return generate_dataset(CFG)
+
+
+def test_vocab_flatten():
+    v = StdVocab()
+    assert v.get_id("colour_group_name", "black") >= 2
+    assert v.get_id("colour_group_name", "no_such_colour") == UNK_ID
+    assert v.get_id("colour_group_name", None) == PAD_ID
+    # same string in different fields -> different ids
+    v2 = StdVocab({"a": ["x"], "b": ["x"]})
+    assert v2.get_id("a", "x") != v2.get_id("b", "x")
+    row = v.encode_item({"colour_group_name": "black"})
+    assert len(row) == v.num_fields
+
+
+def test_tokenizer_stateless_and_fixed_shape():
+    ids1, m1 = tok.encode("Ribbed Cotton T-Shirt", 8, 1000)
+    ids2, m2 = tok.encode("ribbed cotton t-shirt!", 8, 1000)
+    np.testing.assert_array_equal(ids1, ids2)  # normalization + stable hash
+    assert ids1.shape == (8,) and m1.sum() == 4  # ribbed/cotton/t/shirt
+    assert tok.hash_bucket("x", 100, "f1") != tok.hash_bucket("x", 100, "f2")
+    assert tok.hash_bucket(None, 100) == 0
+
+
+def test_fake_llm_geometry_rules():
+    base = {"product_type_name": "trousers", "graphical_appearance_name": "solid",
+            "colour_group_name": "black", "perceived_colour_value_name": "dark",
+            "section_name": "mens_basic", "material": "wool", "detail": "zip",
+            "style": "classic", "total_length": 110.0, "chest_width": 50.0,
+            "waist_width": 35.0, "hem_width": 70.0, "rise": 30.0}
+    re_feat = enrich_item(base)["reinforced_feature_value"]
+    assert set(re_feat) == set(RE_FEATURE_KEYS)
+    assert "maxi" in re_feat["FIT"][0]            # length tier
+    assert re_feat["FIT"][1] == "a_line_flare"    # hem/chest ratio 1.4
+    assert re_feat["FIT"][2] == "cinched_waist"   # waist/chest ratio 0.7
+    assert "high_rise" in re_feat["FIT"]          # rise > 28 on lower body
+    assert re_feat["LOC"] == ["lower_body"]
+    assert re_feat["FNC"] == ["warm"]             # wool
+    # deterministic
+    assert enrich_item(base) == enrich_item(base)
+
+
+def test_synthetic_world(world):
+    items, users, tx = world
+    assert len(items) == CFG.num_items and len(users) == CFG.num_users
+    assert len(tx) > 1000
+    assert etl.deep_inspect_missing_items(tx, items)["missing_tx"] == 0
+    # popularity is skewed (zipf): top item >> median item
+    counts = tx.groupby("item_id").size().sort_values(ascending=False)
+    assert counts.iloc[0] > 5 * counts.median()
+
+
+def test_time_split_and_targets(world):
+    _, _, tx = world
+    train, valid, split_day = etl.time_split(tx, valid_days=7)
+    assert train["day"].max() < split_day <= valid["day"].min() + 7
+    targets = etl.make_validation_target(valid)
+    assert len(targets) > 10
+    some_user = next(iter(targets))
+    assert len(targets[some_user]) == len(set(targets[some_user]))  # deduped
+
+
+def test_item_features(world):
+    items, _, tx = world
+    train, _, split_day = etl.time_split(tx)
+    feats = etl.make_item_features(train, items, split_day)
+    assert len(feats) == len(items)
+    assert feats["raw_probability"].sum() == pytest.approx(1.0, abs=1e-6)
+    assert feats["velocity_1w"].between(-1.0, 5.0).all()
+    assert (feats["days_since_release_log"] >= 0).all()
+    logq = etl.logq_from_item_features(feats, sorted(items["item_id"]))
+    assert logq.shape == (len(items) + 1,)
+    assert logq[0] == -20.0  # PAD row
+    assert (logq <= 0).all()
+
+
+def test_user_features_scaler_shared(world):
+    _, users, tx = world
+    train, _, split_day = etl.time_split(tx)
+    uf, scaler = etl.make_user_features(train, users, split_day)
+    assert uf["price_mean_b"].between(0, 10).all()
+    # continuous block standardized on train
+    assert abs(uf["price_std_s"].mean()) < 0.1
+    # reapplying the train scaler must not refit
+    uf2, _ = etl.make_user_features(train.head(500), users, split_day, scaler=scaler)
+    assert scaler.mean["price_std"] == pytest.approx(float(train.groupby("user_id")["price"].std().fillna(0).reindex(users["user_id"]).fillna(0).mean()), rel=1)
+
+
+def test_sequences_and_sanity(world):
+    _, _, tx = world
+    train, valid, _ = etl.time_split(tx)
+    seqs = etl.make_sequences(train, max_len=50)
+    assert (seqs["seq_len"] <= 50).all()
+    # deltas are non-negative and last delta is 0 (relative to last event)
+    for rec in seqs.head(20).to_dict("records"):
+        assert rec["sequence_deltas"][-1] == 0
+        assert all(d >= 0 for d in rec["sequence_deltas"])
+    targets = etl.make_validation_target(valid)
+    report = etl.final_sanity_check(seqs, targets)
+    assert report["pad_inside_sequence"] == 0
+    assert report["coverage"] > 0.8  # most target users have history
+    dist = etl.check_sequence_distribution(seqs, etl.make_sequences(valid, 50))
+
+
+def test_tokenize_items_shapes(world):
+    items, _, _ = world
+    vcfg = VocabConfig(max_field_tokens=16, max_name_tokens=12)
+    t = tokenize_items(items, StdVocab(), vcfg)
+    n = len(items)
+    assert t["std"].shape == (n, 6)
+    assert t["re_ids"].shape == (n, 9, 16)
+    assert t["txt_ids"].shape == (n, 12)
+    # masks consistent; value ids only where mask
+    assert ((t["re_mask"] == 1) == (t["re_value"] > 0)).all()
+    assert t["item_ids"] == sorted(t["item_ids"])
+    # every item has at least CAT tokens
+    assert (t["re_mask"][:, 0].sum(axis=-1) > 0).all()
+
+
+def test_sasrec_causal_shift_invariant(world):
+    """The reference's `dataset_peek` integrity check as a real test:
+    Input[t+1] == Target[t] on every real position."""
+    items, users, tx = world
+    train, _, split_day = etl.time_split(tx)
+    uf, _ = etl.make_user_features(train, users, split_day)
+    seqs = etl.make_sequences(train, max_len=20)
+    _, item_map = build_side_info(items, 100)
+    cfg = UserTowerConfig(max_len=20)
+    t = build_sasrec_tensors(seqs, uf, item_map, cfg)
+    inp, tgt, mask = t["input_ids"], t["target_ids"], t["seq_mask"]
+    assert len(t["user_ids"]) > 10
+    # left padding: all real positions at the end
+    first_real = mask.argmax(axis=1)
+    for r in range(min(20, len(inp))):
+        fr = first_real[r]
+        assert (mask[r, :fr] == 0).all() and (mask[r, fr:] == 1).all()
+        np.testing.assert_array_equal(inp[r, fr + 1:], tgt[r, fr:-1])
+        assert (inp[r, fr:] > 0).all()  # no pad ids inside the sequence
+    assert t["user_buckets"].shape[1] == 4
+    assert t["user_cats"].shape[1] == 5
+    assert t["user_cont"].shape[1] == 4
+
+
+def test_side_info_alignment(world):
+    items, _, _ = world
+    side, id_map = build_side_info(items, 100)
+    assert side.shape == (len(items) + 1, 4)
+    assert (side[0] == 0).all()  # PAD row
+    assert (side[1:] > 0).all()
+    assert id_map.idx(id_map.ids[0]) == 1
+    assert id_map.idx("missing") == 0
