@@ -114,6 +114,11 @@ class UserTrainConfig:
     freeze_item_epochs: int = 1    # unfreeze at epoch 2 (`v1_usertower_train.py:968-982`)
     unfrozen_item_lr_scale: float = 0.05
     eval_ks: Sequence[int] = (20, 100, 500)
+    # static-shape replacement for the reference's dynamic all-timestep
+    # flattening: sample this many valid positions per user per step
+    positions_per_user: int = 4
+    plateau_factor: float = 0.5    # ReduceLROnPlateau on Recall@100
+    plateau_patience: int = 2
 
 
 @dataclass(frozen=True)

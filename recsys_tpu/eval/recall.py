@@ -1,0 +1,90 @@
+"""Full-catalog retrieval evaluation: Recall@{20,100,500}.
+
+TPU redesign of the reference's ``evaluate_model``
+(`v1_usertower_train.py:548-711`): normalize the item matrix once, batch
+user forwards, score the whole catalog (``U @ I^T``), take top-max(K) on
+device, then compute set-intersection recall on host with users absent from
+the ground truth dropped from the denominator.
+
+On a mesh with model-parallel shards the scoring runs through
+``sharded_topk`` (per-shard matmul + top-k + cross-shard merge), so eval
+and serving share one retrieval code path (SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.sharding import PartitionSpec as P
+
+from recsys_tpu.parallel.collectives import sharded_topk
+from recsys_tpu.parallel.mesh import smap
+
+
+def topk_scores(user_vecs: jnp.ndarray, item_matrix: jnp.ndarray, k: int,
+                mesh=None, normalize_items: bool = True):
+    """(B, D) x (N+1, D) -> (vals, idx) (B, k); PAD row 0 excluded.
+
+    With a mesh whose model axis > 1, the item matrix is row-sharded and
+    top-k is merged across shards; otherwise a single dense matmul+top_k.
+    """
+    items = item_matrix.astype(jnp.float32)
+    if normalize_items:
+        items = items / jnp.clip(jnp.linalg.norm(items, axis=-1, keepdims=True), 1e-12)
+    u = user_vecs.astype(jnp.float32)
+    if mesh is not None and mesh.shape[mesh.axis_names[1]] > 1:
+        model_axis = mesh.axis_names[1]
+
+        def _score(uu, it):
+            scores = uu @ it.T
+            offset = jax.lax.axis_index(model_axis) * it.shape[0]
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + offset
+            scores = jnp.where(col == 0, -jnp.inf, scores)  # mask global PAD row
+            return sharded_topk(scores, k, model_axis)
+
+        f = smap(_score, mesh,
+                 (P(None, None), P(model_axis, None)),
+                 (P(None, None), P(None, None)))
+        return f(u, items)
+    scores = u @ items.T
+    scores = scores.at[:, 0].set(-jnp.inf)
+    return jax.lax.top_k(scores, k)
+
+
+def recall_at_ks(topk_idx: np.ndarray, user_ids: list, targets_idx: dict,
+                 ks=(20, 100, 500)) -> dict:
+    """targets_idx: user_id -> set of target item indices. Users without
+    targets are dropped from the denominator (reference `:679-699`)."""
+    ks = sorted(ks)
+    sums = {k: 0.0 for k in ks}
+    n_eval = 0
+    for r, uid in enumerate(user_ids):
+        tgt = targets_idx.get(uid)
+        if not tgt:
+            continue
+        n_eval += 1
+        row = topk_idx[r]
+        for k in ks:
+            hits = len(tgt.intersection(row[:k].tolist()))
+            sums[k] += hits / len(tgt)
+    if n_eval == 0:
+        return {f"recall@{k}": 0.0 for k in ks} | {"n_eval": 0}
+    return {f"recall@{k}": sums[k] / n_eval for k in ks} | {"n_eval": n_eval}
+
+
+def evaluate_retrieval(forward_fn, batches, item_matrix, targets_idx,
+                       ks=(20, 100, 500), mesh=None) -> dict:
+    """Generic retrieval eval: ``forward_fn(batch) -> (B, D) user vectors``;
+    ``batches`` yields (batch, user_ids)."""
+    max_k = max(ks)
+    all_idx, all_uids = [], []
+    for batch, uids in batches:
+        u = forward_fn(batch)
+        _, idx = topk_scores(u, item_matrix, max_k, mesh=mesh)
+        all_idx.append(np.asarray(idx))
+        all_uids.extend(uids)
+    if not all_idx:
+        return {f"recall@{k}": 0.0 for k in ks} | {"n_eval": 0}
+    return recall_at_ks(np.concatenate(all_idx), all_uids, targets_idx, ks)

@@ -1,0 +1,248 @@
+"""Stage-2 user-tower training pipeline.
+
+TPU redesign of ``run_pipeline`` (reference `v1_usertower_train.py:897-1025`)
+and its loops (`train_user_tower_all_time` `:717-893`):
+
+  * one jitted step: item-matrix lookups, two dropout-view forwards, the
+    LogQ-corrected in-batch sampled softmax over sampled timesteps with
+    same-user masking, + DuoRec on the last step;
+  * the reference flattens the *dynamic* set of valid timesteps; on TPU we
+    sample a STATIC ``positions_per_user`` valid positions per user per step
+    (categorical over the padding mask) — same gradient signal, fixed
+    shapes (SURVEY.md §7.3 "ragged data");
+  * freeze->unfreeze of the item matrix is a gradient gate schedule + a
+    5%-scaled lr group (static optimizer tree, resume-safe);
+  * per-epoch full-catalog Recall@{20,100,500}; ReduceLROnPlateau on
+    Recall@100 via a serialized update-scale; best checkpoint by Recall@100;
+    ``resume=True`` restores the latest full train state and continues
+    (reference `run_resume_pipeline` `:1028-1152`).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from recsys_tpu.config import Config
+from recsys_tpu.data import etl
+from recsys_tpu.data.dataset import batch_iterator, build_sasrec_tensors, build_side_info
+from recsys_tpu.eval.recall import recall_at_ks, topk_scores
+from recsys_tpu.models.layers import l2_normalize
+from recsys_tpu.models.user_tower import SASRecItemTower, SASRecUserTower
+from recsys_tpu.ops.contrastive import duorec_loss, inbatch_logq_loss
+from recsys_tpu.parallel.mesh import data_sharding, replicated
+from recsys_tpu.train.checkpoint import CheckpointStore, align_rows
+from recsys_tpu.train.metrics import MetricWriter, gate_weights
+from recsys_tpu.train.state import (
+    PlateauScheduler,
+    TrainState,
+    freeze_gate_schedule,
+    label_params,
+    set_lr_factor,
+    with_lr_factor,
+)
+
+BATCH_KEYS = ("input_ids", "target_ids", "time_buckets", "seq_mask",
+              "user_buckets", "user_cats", "user_cont")
+
+
+def prepare_stage2(cfg: Config, items, users, tx_df):
+    """ETL -> fixed-shape stage-2 training data (the analogue of the
+    reference's FeatureProcessor + dataset build, `v1_usertower_train.py:81-184`)."""
+    train_tx, valid_tx, split_day = etl.time_split(tx_df, cfg.data.valid_days)
+    side, item_map = build_side_info(items, cfg.vocab.num_hash_buckets)
+    user_feats, scaler = etl.make_user_features(train_tx, users, split_day)
+    seqs = etl.make_sequences(train_tx, cfg.user_tower.max_len)
+    tensors = build_sasrec_tensors(seqs, user_feats, item_map, cfg.user_tower)
+    item_feats = etl.make_item_features(train_tx, items, split_day)
+    logq = etl.logq_from_item_features(item_feats, item_map.ids)
+    targets = etl.make_validation_target(valid_tx)
+    targets_idx = {u: {item_map.idx(i) for i in its} - {0}
+                   for u, its in targets.items()}
+    return {
+        "tensors": tensors, "side": side, "item_map": item_map, "logq": logq,
+        "targets_idx": targets_idx, "user_feats": user_feats, "scaler": scaler,
+        "split_day": split_day, "item_feats": item_feats,
+    }
+
+
+def init_stage2_params(cfg: Config, num_items_pad: int, pretrained: np.ndarray | None,
+                       key: jax.Array, sample_batch: dict):
+    user_model = SASRecUserTower(cfg.user_tower, num_id_embeddings=num_items_pad)
+    item_model = SASRecItemTower(num_items_pad, cfg.user_tower.d_model)
+    k1, k2 = jax.random.split(key)
+    B, L = sample_batch["input_ids"].shape
+    dummy_vecs = jnp.zeros((B, L, cfg.user_tower.d_model))
+    dummy_side = jnp.zeros((B, L, cfg.user_tower.num_side_fields), jnp.int32)
+    user_params = user_model.init(
+        {"params": k1, "dropout": k1}, dummy_vecs, sample_batch["input_ids"],
+        sample_batch["time_buckets"], dummy_side, sample_batch["seq_mask"],
+        sample_batch["user_buckets"], sample_batch["user_cats"],
+        sample_batch["user_cont"])["params"]
+    item_params = item_model.init(k2, jnp.zeros((2,), jnp.int32))["params"]
+    if pretrained is not None:
+        item_params = {"item_matrix": jnp.asarray(pretrained, jnp.float32)}
+    return {"user": user_params, "item": item_params}, (user_model, item_model)
+
+
+def make_stage2_optimizer(cfg: Config, params, steps_per_epoch: int):
+    ut = cfg.user_train
+    freeze_steps = ut.freeze_item_epochs * steps_per_epoch
+    groups = {
+        "user": optax.adamw(ut.lr, weight_decay=ut.weight_decay),
+        "item": optax.chain(
+            optax.scale_by_schedule(freeze_gate_schedule(freeze_steps)),
+            optax.adamw(ut.lr * ut.unfrozen_item_lr_scale,
+                        weight_decay=ut.weight_decay)),
+    }
+    tx = optax.multi_transform(
+        groups, label_params(params, lambda p: "item" if p.startswith("item") else "user"))
+    tx = optax.chain(optax.clip_by_global_norm(ut.grad_clip), tx)
+    return with_lr_factor(tx)
+
+
+def make_stage2_step(cfg: Config, models, side: np.ndarray, logq: np.ndarray):
+    user_model, item_model = models
+    ut, utc = cfg.user_train, cfg.user_tower
+    side_c = jnp.asarray(side)
+    logq_c = jnp.asarray(logq)
+    P_ = ut.positions_per_user
+
+    def forward(params, batch, key, deterministic=False):
+        item_vecs = item_model.apply({"params": params["item"]}, batch["input_ids"])
+        side_ids = jnp.take(side_c, batch["input_ids"], axis=0)
+        return user_model.apply(
+            {"params": params["user"]}, item_vecs, batch["input_ids"],
+            batch["time_buckets"], side_ids, batch["seq_mask"],
+            batch["user_buckets"], batch["user_cats"], batch["user_cont"],
+            all_timesteps=True, deterministic=deterministic,
+            rngs={"dropout": key})
+
+    def loss_fn(params, batch, key):
+        k1, k2, kp = jax.random.split(key, 3)
+        u1 = forward(params, batch, k1)                      # (B, L, D)
+        u2 = forward(params, batch, k2)
+        B, L, D = u1.shape
+        # sample P_ valid positions per user (static shape)
+        logits = jnp.where(batch["seq_mask"] > 0, 0.0, -1e9)  # (B, L)
+        pos = jax.random.categorical(kp, logits[:, None, :], axis=-1,
+                                     shape=(B, P_))           # (B, P_)
+        rows = jnp.take_along_axis(u1, pos[..., None], axis=1).reshape(B * P_, D)
+        tgt_ids = jnp.take_along_axis(batch["target_ids"], pos, axis=1).reshape(-1)
+        tgt_emb = l2_normalize(item_model.apply({"params": params["item"]}, tgt_ids))
+        user_row_ids = jnp.repeat(jnp.arange(B), P_)
+        main = inbatch_logq_loss(
+            rows, tgt_emb, tgt_ids, logq_c, temperature=ut.temperature,
+            lambda_logq=ut.lambda_logq, user_ids=user_row_ids)
+        cl = duorec_loss(u1[:, -1], u2[:, -1], batch["target_ids"][:, -1],
+                         temperature=ut.temperature, lambda_sup=ut.lambda_sup)
+        return main + ut.lambda_cl * cl, {"main": main, "cl": cl}
+
+    @jax.jit
+    def step(state: TrainState, batch, key):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, key)
+        new_state = state.apply_gradients(grads)
+        aux["loss"] = loss
+        return new_state, aux
+
+    @jax.jit
+    def user_vectors(params, batch):
+        item_vecs = item_model.apply({"params": params["item"]}, batch["input_ids"])
+        side_ids = jnp.take(side_c, batch["input_ids"], axis=0)
+        return user_model.apply(
+            {"params": params["user"]}, item_vecs, batch["input_ids"],
+            batch["time_buckets"], side_ids, batch["seq_mask"],
+            batch["user_buckets"], batch["user_cats"], batch["user_cont"],
+            all_timesteps=False, deterministic=True)
+
+    return step, user_vectors
+
+
+def _slice(tensors: dict, idx: np.ndarray) -> dict:
+    return {k: tensors[k][idx] for k in BATCH_KEYS}
+
+
+def evaluate_stage2(cfg: Config, state_params, user_vectors_fn, data, mesh,
+                    batch_size: int | None = None) -> dict:
+    tensors = data["tensors"]
+    n = tensors["input_ids"].shape[0]
+    bs = batch_size or cfg.user_train.batch_size
+    item_matrix = np.asarray(state_params["item"]["item_matrix"])
+    all_idx, uids = [], []
+    max_k = max(cfg.user_train.eval_ks)
+    for s in range(0, n, bs):
+        idx = np.arange(s, min(s + bs, n))
+        orig = len(idx)
+        if orig < bs:
+            idx = np.concatenate([idx, np.zeros(bs - orig, np.int64)])
+        batch = jax.device_put(_slice(tensors, idx), data_sharding(mesh))
+        u = user_vectors_fn(state_params, batch)
+        _, top = topk_scores(u, jnp.asarray(item_matrix), max_k, mesh=mesh)
+        all_idx.append(np.asarray(top)[:orig])
+        uids.extend(tensors["user_ids"][s:s + orig])
+    return recall_at_ks(np.concatenate(all_idx), uids, data["targets_idx"],
+                        cfg.user_train.eval_ks)
+
+
+def train_user_tower(cfg: Config, data: dict, pretrained_matrix: np.ndarray | None,
+                     mesh, workdir: str, resume: bool = False,
+                     writer: MetricWriter | None = None):
+    ut = cfg.user_train
+    tensors = data["tensors"]
+    n = tensors["input_ids"].shape[0]
+    bs = min(ut.batch_size, max(n - n % 8, 8))
+    steps_per_epoch = max(n // bs, 1)
+
+    key = jax.random.PRNGKey(cfg.data.seed)
+    num_items_pad = len(data["item_map"]) + 1
+    sample = _slice(tensors, np.arange(min(bs, n)))
+    params, models = init_stage2_params(cfg, num_items_pad, pretrained_matrix,
+                                        key, sample)
+    tx = make_stage2_optimizer(cfg, params, steps_per_epoch)
+    state = TrainState.create(params, tx)
+    store = CheckpointStore(workdir, maximize=True)
+    start_epoch = 1
+    plateau = PlateauScheduler(ut.plateau_factor, ut.plateau_patience)
+    if resume:
+        restored = store.restore_latest(state)
+        if restored is not None:
+            state, entry = restored
+            start_epoch = entry["extra"].get("epoch", 0) + 1
+            if entry["extra"].get("plateau_best") is not None:
+                plateau.best = entry["extra"]["plateau_best"]
+                plateau.scale = entry["extra"].get("plateau_scale", 1.0)
+    state = jax.device_put(state, replicated(mesh))
+    step_fn, user_vectors_fn = make_stage2_step(cfg, models, data["side"], data["logq"])
+    writer = writer or MetricWriter(f"{workdir}/metrics.jsonl", "sasrec")
+
+    rng = np.random.default_rng(cfg.data.seed + 1)
+    gstep = (start_epoch - 1) * steps_per_epoch
+    history = []
+    for epoch in range(start_epoch, ut.epochs + 1):
+        t0, seen = time.time(), 0
+        for idx in batch_iterator(n, bs, rng):
+            batch = jax.device_put(_slice(tensors, idx), data_sharding(mesh))
+            key, sub = jax.random.split(key)
+            state, aux = step_fn(state, batch, sub)
+            gstep += 1
+            seen += bs
+            if gstep % min(100, steps_per_epoch) == 0:
+                writer.write("train", gstep, loss=float(aux["loss"]),
+                             main=float(aux["main"]), cl=float(aux["cl"]),
+                             examples_per_s=seen / max(time.time() - t0, 1e-9),
+                             **gate_weights(state.params["user"]))
+        metrics = evaluate_stage2(cfg, state.params, user_vectors_fn, data, mesh, bs)
+        r100 = metrics.get("recall@100", 0.0)
+        writer.write("eval", epoch, **metrics)
+        history.append(metrics)
+        scale = plateau.update(r100)
+        state = state.replace(opt_state=set_lr_factor(state.opt_state, scale))
+        store.save(f"ep{epoch:03d}", state, step=gstep, metric=r100,
+                   extra={"epoch": epoch, "plateau_best": plateau.best,
+                          "plateau_scale": plateau.scale, **metrics})
+    return state, history, (models, user_vectors_fn)

@@ -64,3 +64,58 @@ def grouped_adamw(groups: dict[str, optax.GradientTransformation],
     if grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     return tx
+
+
+def freeze_gate_schedule(freeze_steps: int) -> optax.Schedule:
+    """1.0 after ``freeze_steps``, else 0.0 — chained BEFORE an inner adam so
+    gradients are hard-zeroed during the frozen phase (no moment warmup),
+    making freeze->unfreeze a pure schedule with a static optimizer tree
+    (the reference mutates torch param groups instead,
+    `v1_usertower_train.py:968-982`)."""
+    import jax.numpy as jnp
+
+    def sched(step):
+        return jnp.where(step >= freeze_steps, 1.0, 0.0)
+
+    return sched
+
+
+def with_lr_factor(tx: optax.GradientTransformation) -> optax.GradientTransformation:
+    """Append a runtime-mutable update scale (serialized in opt state) —
+    the ReduceLROnPlateau mechanism (reference `v1_usertower_train.py:957-960`)."""
+    return optax.chain(tx, optax.inject_hyperparams(optax.scale)(step_size=1.0))
+
+
+def set_lr_factor(opt_state, factor: float):
+    """Rewrite the injected scale inside a ``with_lr_factor`` opt state."""
+    import jax.numpy as jnp
+
+    inj = opt_state[-1]
+    hp = dict(inj.hyperparams)
+    hp["step_size"] = jnp.asarray(factor, jnp.float32)
+    return opt_state[:-1] + (inj._replace(hyperparams=hp),)
+
+
+class PlateauScheduler:
+    """Host-side metric watcher: multiplies the lr factor by ``factor`` after
+    ``patience`` epochs without improvement."""
+
+    def __init__(self, factor: float = 0.5, patience: int = 2, maximize: bool = True,
+                 min_scale: float = 1e-3):
+        self.factor, self.patience, self.maximize = factor, patience, maximize
+        self.min_scale = min_scale
+        self.best: float | None = None
+        self.bad = 0
+        self.scale = 1.0
+
+    def update(self, metric: float) -> float:
+        improved = self.best is None or (
+            (metric > self.best) if self.maximize else (metric < self.best))
+        if improved:
+            self.best, self.bad = metric, 0
+        else:
+            self.bad += 1
+            if self.bad >= self.patience:
+                self.scale = max(self.scale * self.factor, self.min_scale)
+                self.bad = 0
+        return self.scale
