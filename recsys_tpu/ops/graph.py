@@ -1,0 +1,110 @@
+"""Sparse bipartite graph construction + TPU propagation primitives.
+
+The reference builds a scipy normalized adjacency, converts it to a torch
+sparse CUDA tensor and runs `sparse.mm` over ALL nodes every step
+(`gnn_model/v1_lightgcl.py:104-139, 163-186`). The TPU-native form keeps the
+graph as fixed-shape COO edge arrays and expresses propagation as
+gather + ``segment_sum`` — XLA lowers this to efficient one-hot/scatter adds
+and it shards cleanly (edges are data-parallel). The low-rank SVD of the
+normalized adjacency is computed once on host at graph-build time
+(randomized subspace iteration, the same algorithm as
+``torch.svd_lowrank(q, niter)``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class BipartiteGraph:
+    """Symmetric normalized user-item graph in COO form.
+
+    Nodes are stacked [users (Nu) | items (Ni)]. ``src/dst/weight`` contain
+    BOTH edge directions, padded to a fixed length with weight-0 self loops
+    on node 0 (static shapes for jit).
+    """
+
+    num_users: int
+    num_items: int
+    src: np.ndarray      # (E,) int32
+    dst: np.ndarray      # (E,) int32
+    weight: np.ndarray   # (E,) float32 — D^-1/2 A D^-1/2 normalization
+    svd_u: np.ndarray    # (N, q)
+    svd_s: np.ndarray    # (q,)
+    svd_v: np.ndarray    # (N, q)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.num_users + self.num_items
+
+
+def _randomized_svd(mat_vec, mat_tvec, n_rows: int, n_cols: int, q: int,
+                    niter: int, rng: np.random.Generator):
+    """Randomized low-rank SVD via subspace iteration (host, one-time)."""
+    k = min(q + 4, min(n_rows, n_cols))
+    omega = rng.normal(size=(n_cols, k)).astype(np.float64)
+    y = mat_vec(omega)
+    for _ in range(niter):
+        y = mat_vec(mat_tvec(y))
+    qmat, _ = np.linalg.qr(y)
+    b = mat_tvec(qmat).T          # (k, n_cols)
+    ub, s, vt = np.linalg.svd(b, full_matrices=False)
+    u = qmat @ ub
+    return (u[:, :q].astype(np.float32), s[:q].astype(np.float32),
+            vt[:q].T.astype(np.float32))
+
+
+def build_graph(user_idx: np.ndarray, item_idx: np.ndarray, num_users: int,
+                num_items: int, svd_rank: int = 5, svd_iters: int = 2,
+                pad_multiple: int = 1024, seed: int = 0) -> BipartiteGraph:
+    """Deduped (user, item) interactions -> normalized symmetric COO graph +
+    low-rank SVD of the normalized adjacency."""
+    pairs = np.unique(np.stack([user_idx, item_idx], axis=1), axis=0)
+    u, i = pairs[:, 0].astype(np.int64), pairs[:, 1].astype(np.int64)
+    n = num_users + num_items
+    deg = np.zeros(n, np.float64)
+    np.add.at(deg, u, 1.0)
+    np.add.at(deg, num_users + i, 1.0)
+    d_inv_sqrt = 1.0 / np.sqrt(np.clip(deg, 1.0, None))
+    w = (d_inv_sqrt[u] * d_inv_sqrt[num_users + i]).astype(np.float32)
+
+    src = np.concatenate([u, num_users + i]).astype(np.int32)
+    dst = np.concatenate([num_users + i, u]).astype(np.int32)
+    weight = np.concatenate([w, w]).astype(np.float32)
+    # pad to a fixed multiple with zero-weight edges (node 0 self loop)
+    E = len(src)
+    target = ((E + pad_multiple - 1) // pad_multiple) * pad_multiple
+    pad = target - E
+    src = np.concatenate([src, np.zeros(pad, np.int32)])
+    dst = np.concatenate([dst, np.zeros(pad, np.int32)])
+    weight = np.concatenate([weight, np.zeros(pad, np.float32)])
+
+    # host-side randomized SVD of the (N, N) normalized adjacency
+    import scipy.sparse as sp
+    adj = sp.coo_matrix(
+        (np.concatenate([w, w]),
+         (np.concatenate([u, num_users + i]), np.concatenate([num_users + i, u]))),
+        shape=(n, n)).tocsr()
+    rng = np.random.default_rng(seed)
+    su, ss, sv = _randomized_svd(lambda x: adj @ x, lambda x: adj.T @ x,
+                                 n, n, svd_rank, svd_iters, rng)
+    return BipartiteGraph(num_users, num_items, src, dst, weight, su, ss, sv)
+
+
+def propagate(x: jnp.ndarray, src: jnp.ndarray, dst: jnp.ndarray,
+              weight: jnp.ndarray, num_nodes: int) -> jnp.ndarray:
+    """One normalized-adjacency propagation step: out = A_norm @ x,
+    expressed as gather + segment_sum (TPU-friendly sparse matmul)."""
+    msgs = jnp.take(x, src, axis=0) * weight[:, None]
+    return jax.ops.segment_sum(msgs, dst, num_segments=num_nodes)
+
+
+def svd_propagate(x: jnp.ndarray, svd_u: jnp.ndarray, svd_s: jnp.ndarray,
+                  svd_v: jnp.ndarray) -> jnp.ndarray:
+    """Global (low-rank) view propagation: \\hat{A} x = U (S * (V^T x))."""
+    return svd_u @ (svd_s[:, None] * (svd_v.T @ x))

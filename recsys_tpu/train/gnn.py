@@ -1,0 +1,224 @@
+"""LightGCL training / resume / fine-tune + post-hoc eval + distillation.
+
+TPU redesign of the reference loops (`gnn_model/v1_lightgcl.py:224-562`,
+eval `v1_evaluate_lightgcl.py`, distill `distill_mag_to_cos_l2.py`):
+
+  * full-graph forward every step (the reference's structure, SURVEY.md
+    §3.4) as one jitted segment-sum program — bf16-free fp32 graph math at
+    dim 64, BPR + clamped SSL InfoNCE + L2 reg;
+  * vectorized host-side rejection sampling for BPR negatives;
+  * full train-state checkpoints (params+opt+epoch+config) best/last, resume
+    with optional fresh-optimizer lr reset, fine-tune with cosine decay;
+  * post-hoc n-layer propagation of trained layer-0 embeddings for export /
+    eval (dot-product Recall@{20,100} — NOT cosine, reference
+    `v1_evaluate_lightgcl.py:275-340`);
+  * magnitude->cosine distillation of the teacher's dot scores.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from recsys_tpu.config import Config, GNNConfig
+from recsys_tpu.models.lightgcl import (
+    LightGCL,
+    MagnitudeEncoder,
+    bpr_loss,
+    distill_loss,
+    reg_loss,
+    ssl_loss,
+)
+from recsys_tpu.ops.graph import BipartiteGraph, build_graph, propagate
+from recsys_tpu.train.checkpoint import CheckpointStore, save_array_with_ids
+from recsys_tpu.train.metrics import MetricWriter
+from recsys_tpu.train.state import TrainState
+
+
+def graph_from_transactions(tx_df, user_map, item_map, cfg: GNNConfig,
+                            seed: int = 0) -> BipartiteGraph:
+    """Transactions + id maps -> normalized bipartite COO graph. User/item
+    indices here are 0-based dense graph indices (no PAD row)."""
+    u = np.array([user_map[uid] for uid in tx_df["user_id"]], np.int64)
+    i = np.array([item_map[iid] for iid in tx_df["item_id"]], np.int64)
+    return build_graph(u, i, len(user_map), len(item_map),
+                       svd_rank=cfg.svd_rank, svd_iters=cfg.svd_iters, seed=seed)
+
+
+def sample_bpr_batches(graph_u: np.ndarray, graph_i: np.ndarray, num_items: int,
+                       batch_size: int, rng: np.random.Generator):
+    """Shuffled (users, pos, rejection-sampled neg) batches over all edges."""
+    keys = set((graph_u * num_items + graph_i).tolist())
+    order = rng.permutation(len(graph_u))
+    end = len(order) - len(order) % batch_size
+    if end == 0 and len(order) > 0:
+        end = len(order)  # single short batch for tiny graphs
+    for s in range(0, end, batch_size):
+        idx = order[s:s + batch_size]
+        users, pos = graph_u[idx], graph_i[idx]
+        neg = rng.integers(0, num_items, size=len(idx))
+        for _ in range(10):  # vectorized rejection rounds
+            bad = np.fromiter(((u * num_items + n) in keys for u, n in zip(users, neg)),
+                              bool, len(neg))
+            if not bad.any():
+                break
+            neg[bad] = rng.integers(0, num_items, size=int(bad.sum()))
+        yield users.astype(np.int32), pos.astype(np.int32), neg.astype(np.int32)
+
+
+def make_gnn_step(model: LightGCL, graph: BipartiteGraph, cfg: GNNConfig):
+    src = jnp.asarray(graph.src)
+    dst = jnp.asarray(graph.dst)
+    w = jnp.asarray(graph.weight)
+    su, ss, sv = map(jnp.asarray, (graph.svd_u, graph.svd_s, graph.svd_v))
+
+    def loss_fn(params, users, pos, neg):
+        lu, li, gu, gi = model.apply({"params": params}, src, dst, w, su, ss, sv)
+        l_bpr = bpr_loss(lu, li, users, pos, neg)
+        l_ssl = (ssl_loss(lu, gu, users, cfg.temperature, cfg.logit_clamp)
+                 + ssl_loss(li, gi, pos, cfg.temperature, cfg.logit_clamp))
+        l_reg = reg_loss(params, users, pos, neg)
+        total = l_bpr + cfg.lambda_ssl * l_ssl + cfg.lambda_reg * l_reg
+        return total, {"bpr": l_bpr, "ssl": l_ssl, "reg": l_reg}
+
+    @jax.jit
+    def step(state: TrainState, users, pos, neg):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, users, pos, neg)
+        new_state = state.apply_gradients(grads)
+        aux["loss"] = loss
+        return new_state, aux
+
+    return step
+
+
+def train_lightgcl(cfg: Config, graph: BipartiteGraph, edges_u: np.ndarray,
+                   edges_i: np.ndarray, workdir: str, *,
+                   resume: bool = False, fine_tune: bool = False,
+                   writer: MetricWriter | None = None):
+    """Train (or resume / cosine-fine-tune) LightGCL over the whole edge set."""
+    g = cfg.gnn
+    model = LightGCL(graph.num_users, graph.num_items, g)
+    params = model.init(jax.random.PRNGKey(cfg.data.seed),
+                        jnp.asarray(graph.src[:2]), jnp.asarray(graph.dst[:2]),
+                        jnp.asarray(graph.weight[:2]), jnp.asarray(graph.svd_u),
+                        jnp.asarray(graph.svd_s), jnp.asarray(graph.svd_v))["params"]
+    steps_per_epoch = max(len(edges_u) // g.batch_size, 1)
+    if fine_tune:
+        sched = optax.cosine_decay_schedule(g.lr * 0.4, steps_per_epoch * g.epochs,
+                                            alpha=1e-5 / (g.lr * 0.4))
+        tx = optax.adam(sched)
+    else:
+        tx = optax.adam(g.lr)
+    state = TrainState.create(params, tx)
+    store = CheckpointStore(workdir, maximize=False)
+    start_epoch = 1
+    if resume or fine_tune:
+        restored = store.restore_latest(state if resume else
+                                        TrainState.create(params, optax.adam(g.lr)))
+        if restored is not None:
+            prev, entry = restored
+            if resume:
+                state, start_epoch = prev, entry["extra"].get("epoch", 0) + 1
+            else:  # fine-tune: fresh optimizer, previous params
+                state = TrainState.create(prev.params, tx)
+    step_fn = make_gnn_step(model, graph, g)
+    writer = writer or MetricWriter(f"{workdir}/metrics.jsonl", "lightgcl")
+    rng = np.random.default_rng(cfg.data.seed)
+
+    gstep = 0
+    for epoch in range(start_epoch, g.epochs + 1):
+        tot, nb = 0.0, 0
+        for users, pos, neg in sample_bpr_batches(edges_u, edges_i,
+                                                  graph.num_items, g.batch_size, rng):
+            state, aux = step_fn(state, jnp.asarray(users), jnp.asarray(pos),
+                                 jnp.asarray(neg))
+            tot += float(aux["loss"]); nb += 1; gstep += 1
+            if gstep % 100 == 0:
+                writer.write("train", gstep, loss=float(aux["loss"]),
+                             bpr=float(aux["bpr"]), ssl=float(aux["ssl"]))
+        mean = tot / max(nb, 1)
+        writer.write("epoch", epoch, loss=mean)
+        store.save(f"ep{epoch:03d}", state, step=gstep, metric=mean,
+                   extra={"epoch": epoch})
+    return state, model
+
+
+def final_embeddings(params, graph: BipartiteGraph, num_layers: int = 2):
+    """Post-hoc n-layer propagation of the trained layer-0 tables (the
+    export/eval path, reference `compute_final_embeddings`,
+    `v1_evaluate_lightgcl.py:147-179`)."""
+    x0 = jnp.concatenate([jnp.asarray(params["user_emb"]),
+                          jnp.asarray(params["item_emb"])]).astype(jnp.float32)
+    src, dst, w = map(jnp.asarray, (graph.src, graph.dst, graph.weight))
+    acc, x = x0, x0
+    for _ in range(num_layers):
+        x = propagate(x, src, dst, w, graph.num_nodes)
+        acc = acc + x
+    out = acc / (num_layers + 1)
+    return np.asarray(out[: graph.num_users]), np.asarray(out[graph.num_users:])
+
+
+def export_gnn_artifacts(params, graph: BipartiteGraph, user_ids, item_ids,
+                         out_prefix: str, num_layers: int = 2):
+    """Save propagated user/item embeddings with id sidecars (graph indices
+    are dense 0-based; NO pad row — meta records that)."""
+    u, i = final_embeddings(params, graph, num_layers)
+    save_array_with_ids(out_prefix + "_users", u, list(user_ids),
+                        meta={"pad_row": None, "space": "gnn_dot"})
+    save_array_with_ids(out_prefix + "_items", i, list(item_ids),
+                        meta={"pad_row": None, "space": "gnn_dot"})
+    return u, i
+
+
+def gnn_propagation_check(params, graph: BipartiteGraph) -> dict:
+    """The reference's before/after propagation sanity check as data
+    (`v1_evaluate_lightgcl.py:404-445`): propagation must change stats."""
+    before = np.concatenate([np.asarray(params["user_emb"]),
+                             np.asarray(params["item_emb"])])
+    u, i = final_embeddings(params, graph)
+    after = np.concatenate([u, i])
+    delta = float(np.abs(after - before).mean())
+    return {"mean_abs_delta": delta, "ok": delta > 1e-7}
+
+
+# -- magnitude -> cosine distillation --------------------------------------
+
+def train_distill(cfg: Config, teacher_users: np.ndarray, teacher_items: np.ndarray,
+                  workdir: str, writer: MetricWriter | None = None):
+    """Distill the teacher's dot-product geometry into a cosine-only space."""
+    d = cfg.distill
+    model = MagnitudeEncoder(teacher_items.shape[1], d.hidden_dim, d.out_dim)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, teacher_items.shape[1])))["params"]
+    tx = optax.adam(d.lr)
+    state = TrainState.create(params, tx)
+    tu = jnp.asarray(teacher_users, jnp.float32)
+    ti = jnp.asarray(teacher_items, jnp.float32)
+
+    def loss_fn(params, uu, ii):
+        su, scale = model.apply({"params": params}, uu)
+        si, _ = model.apply({"params": params}, ii)
+        return distill_loss(su, si, scale, uu, ii)
+
+    @jax.jit
+    def step(state, uu, ii):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, uu, ii)
+        return state.apply_gradients(grads), loss
+
+    writer = writer or MetricWriter(f"{workdir}/metrics.jsonl", "distill")
+    rng = np.random.default_rng(0)
+    bs = min(d.batch_size, len(teacher_users), len(teacher_items))
+    for epoch in range(1, d.epochs + 1):
+        uu = tu[rng.integers(0, len(teacher_users), bs)]
+        ii = ti[rng.integers(0, len(teacher_items), bs)]
+        state, loss = step(state, uu, ii)
+        writer.write("epoch", epoch, loss=float(loss))
+    return state, model
+
+
+def distilled_vectors(state, model: MagnitudeEncoder, vecs: np.ndarray) -> np.ndarray:
+    out, _ = model.apply({"params": state.params}, jnp.asarray(vecs, jnp.float32))
+    return np.asarray(out)
