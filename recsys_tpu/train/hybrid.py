@@ -1,0 +1,190 @@
+"""Hybrid (content + GNN) user-tower training and ensemble evaluation.
+
+TPU redesign of `tower_code/mined_inference.py`'s training/eval wiring
+(`main` :1591-1683): align stage-1 content vectors and GNN artifacts to the
+stage-2 id order through the ONE canonical sidecar realignment
+(train/checkpoint.align_rows — replacing the reference's five bespoke
+loaders, SURVEY.md §5), train the hybrid tower with the positive-recovery
+LogQ loss under its learnable CLIP scale, then evaluate the sequence model,
+the GNN standalone, and their count-mix / weighted / RRF ensembles.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from recsys_tpu.config import Config
+from recsys_tpu.data.dataset import batch_iterator
+from recsys_tpu.eval.ensemble import alpha_sweep
+from recsys_tpu.eval.recall import recall_at_ks, topk_scores
+from recsys_tpu.models.hybrid_tower import HybridUserTower
+from recsys_tpu.models.layers import l2_normalize
+from recsys_tpu.ops.contrastive import corrected_logq_with_recovery
+from recsys_tpu.parallel.mesh import data_sharding, replicated
+from recsys_tpu.train.checkpoint import CheckpointStore, align_rows
+from recsys_tpu.train.metrics import MetricWriter
+from recsys_tpu.train.sasrec import BATCH_KEYS, _slice
+from recsys_tpu.train.state import TrainState
+
+
+def align_gnn_to_catalog(gnn_vecs: np.ndarray, gnn_ids: list[str],
+                         item_map) -> np.ndarray:
+    """(G, Dg) GNN item artifact -> (N+1, Dg) aligned to model indexing
+    (PAD row 0 zeros; missing items random-init, reference behavior)."""
+    aligned, _ = align_rows(gnn_vecs, gnn_ids, item_map.ids, fill="random")
+    return np.concatenate([np.zeros((1, gnn_vecs.shape[1]), np.float32),
+                           aligned.astype(np.float32)])
+
+
+def align_gnn_users(gnn_vecs: np.ndarray, gnn_ids: list[str],
+                    user_ids: list[str]) -> np.ndarray:
+    aligned, _ = align_rows(gnn_vecs, gnn_ids, user_ids, fill="zero")
+    return aligned.astype(np.float32)
+
+
+def make_hybrid_step(cfg: Config, model: HybridUserTower, content: np.ndarray,
+                     gnn_items: np.ndarray, logq: np.ndarray):
+    ut = cfg.user_train
+    content_c = jnp.asarray(content, jnp.float32)   # (N+1, 128)
+    gnn_c = jnp.asarray(gnn_items, jnp.float32)     # (N+1, Dg)
+    logq_c = jnp.asarray(logq)
+
+    def forward(params, batch, gnn_user, key=None, deterministic=True):
+        cv = jnp.take(content_c, batch["input_ids"], axis=0)
+        gv = jnp.take(gnn_c, batch["input_ids"], axis=0)
+        rngs = {"dropout": key} if key is not None else None
+        return model.apply({"params": params}, cv, gv, batch["input_ids"],
+                           batch["time_buckets"], batch["seq_mask"], gnn_user,
+                           batch["user_buckets"], batch["user_cats"],
+                           batch["user_cont"], deterministic=deterministic,
+                           rngs=rngs)
+
+    def loss_fn(params, batch, gnn_user, key):
+        u = forward(params, batch, gnn_user, key, deterministic=False)
+        tgt_ids = batch["target_ids"][:, -1]
+        cv = jnp.take(content_c, tgt_ids, axis=0)
+        gv = jnp.take(gnn_c, tgt_ids, axis=0)
+        tgt = l2_normalize(model.apply({"params": params}, cv, gv,
+                                       method=HybridUserTower.adapt_items))
+        return corrected_logq_with_recovery(
+            u, tgt, tgt_ids, logq_c, params["logit_scale"],
+            lambda_logq=ut.lambda_logq)
+
+    @jax.jit
+    def step(state: TrainState, batch, gnn_user, key):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, gnn_user, key)
+        return state.apply_gradients(grads), loss
+
+    @jax.jit
+    def user_vectors(params, batch, gnn_user):
+        return forward(params, batch, gnn_user, deterministic=True)
+
+    @jax.jit
+    def item_matrix(params):
+        return l2_normalize(model.apply({"params": params}, content_c, gnn_c,
+                                        method=HybridUserTower.adapt_items))
+
+    return step, user_vectors, item_matrix
+
+
+def train_hybrid(cfg: Config, data: dict, content: np.ndarray,
+                 gnn_items: np.ndarray, gnn_users: np.ndarray, mesh,
+                 workdir: str, writer: MetricWriter | None = None):
+    """data: prepare_stage2 output; content (N+1,128); gnn_items (N+1,Dg);
+    gnn_users aligned to data['tensors']['user_ids'] row order."""
+    ut = cfg.user_train
+    tensors = data["tensors"]
+    n = tensors["input_ids"].shape[0]
+    bs = min(ut.batch_size, max(n - n % 8, 8))
+
+    model = HybridUserTower(cfg.user_tower,
+                            num_id_embeddings=len(data["item_map"]) + 1,
+                            gnn_dim=gnn_items.shape[1])
+    key = jax.random.PRNGKey(cfg.data.seed)
+    sample = _slice(tensors, np.arange(min(bs, n)))
+    cv = jnp.zeros((sample["input_ids"].shape[0], cfg.user_tower.max_len, content.shape[1]))
+    gv = jnp.zeros((sample["input_ids"].shape[0], cfg.user_tower.max_len, gnn_items.shape[1]))
+    params = model.init({"params": key, "dropout": key}, cv, gv,
+                        sample["input_ids"], sample["time_buckets"],
+                        sample["seq_mask"], jnp.zeros((sample["input_ids"].shape[0],
+                                                       gnn_items.shape[1])),
+                        sample["user_buckets"], sample["user_cats"],
+                        sample["user_cont"])["params"]
+    tx = optax.chain(optax.clip_by_global_norm(ut.grad_clip),
+                     optax.adamw(ut.lr, weight_decay=ut.weight_decay))
+    state = jax.device_put(TrainState.create(params, tx), replicated(mesh))
+    step_fn, uv_fn, im_fn = make_hybrid_step(cfg, model, content, gnn_items,
+                                             data["logq"])
+    store = CheckpointStore(workdir, maximize=True)
+    writer = writer or MetricWriter(f"{workdir}/metrics.jsonl", "hybrid")
+    rng = np.random.default_rng(cfg.data.seed + 2)
+
+    gstep = 0
+    history = []
+    for epoch in range(1, ut.epochs + 1):
+        for idx in batch_iterator(n, bs, rng):
+            batch = jax.device_put(_slice(tensors, idx), data_sharding(mesh))
+            gu = jax.device_put(jnp.asarray(gnn_users[idx]), data_sharding(mesh))
+            key, sub = jax.random.split(key)
+            state, loss = step_fn(state, batch, gu, sub)
+            gstep += 1
+            if gstep % 50 == 0:
+                writer.write("train", gstep, loss=float(loss),
+                             logit_scale=float(np.asarray(
+                                 state.params["logit_scale"])))
+        metrics = hybrid_eval(cfg, state.params, uv_fn, im_fn, data, gnn_users, mesh, bs)
+        writer.write("eval", epoch, **metrics)
+        history.append(metrics)
+        store.save(f"ep{epoch:03d}", state, step=gstep,
+                   metric=metrics.get("recall@100", metrics.get("recall@20", 0.0)),
+                   extra={"epoch": epoch})
+    return state, history, (model, uv_fn, im_fn)
+
+
+def hybrid_eval(cfg: Config, params, uv_fn, im_fn, data, gnn_users, mesh,
+                bs: int) -> dict:
+    tensors = data["tensors"]
+    n = tensors["input_ids"].shape[0]
+    item_matrix = im_fn(params)
+    max_k = max(cfg.user_train.eval_ks)
+    all_idx, uids = [], []
+    for s in range(0, n, bs):
+        idx = np.arange(s, min(s + bs, n))
+        orig = len(idx)
+        if orig < bs:
+            idx = np.concatenate([idx, np.zeros(bs - orig, np.int64)])
+        batch = jax.device_put(_slice(tensors, idx), data_sharding(mesh))
+        u = uv_fn(params, batch, jnp.asarray(gnn_users[idx]))
+        _, top = topk_scores(u, item_matrix, max_k, mesh=mesh,
+                             normalize_items=False)
+        all_idx.append(np.asarray(top)[:orig])
+        uids.extend(tensors["user_ids"][s:s + orig])
+    return recall_at_ks(np.concatenate(all_idx), uids, data["targets_idx"],
+                        cfg.user_train.eval_ks)
+
+
+def topm_for_model(user_vecs: np.ndarray, item_matrix: np.ndarray, m: int,
+                   mesh=None, normalize_items: bool = True):
+    """Per-user top-M candidates (ids + scores) — ensemble building block."""
+    vals, idx = topk_scores(jnp.asarray(user_vecs), jnp.asarray(item_matrix),
+                            m, mesh=mesh, normalize_items=normalize_items)
+    return np.asarray(idx), np.asarray(vals)
+
+
+def ensemble_report(model_a: tuple, model_b: tuple, user_ids, targets_idx,
+                    ks=(20, 100, 500)) -> dict:
+    """All three fusion strategies + the GNN/model standalone recalls
+    (the reference's `main()` evaluation suite)."""
+    out = {
+        "standalone_a": recall_at_ks(model_a[0], user_ids, targets_idx, ks),
+        "standalone_b": recall_at_ks(model_b[0], user_ids, targets_idx, ks),
+    }
+    for method in ("count_mix", "weighted", "rrf"):
+        out[method] = alpha_sweep(method, model_a, model_b, user_ids,
+                                  targets_idx, ks)
+    return out

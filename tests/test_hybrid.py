@@ -1,0 +1,111 @@
+"""Hybrid tower + ensemble evaluators."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from recsys_tpu.config import (
+    Config, DataConfig, MeshConfig, UserTowerConfig, UserTrainConfig, VocabConfig)
+from recsys_tpu.data.synthetic import generate_dataset
+from recsys_tpu.eval.ensemble import (
+    alpha_sweep, count_mix_ensemble, rrf_ensemble, weighted_score_ensemble)
+from recsys_tpu.parallel.mesh import build_mesh
+from recsys_tpu.train import hybrid as H
+from recsys_tpu.train import sasrec
+
+CFG = Config(
+    data=DataConfig(num_items=100, num_users=50, days=50, seed=13),
+    vocab=VocabConfig(num_hash_buckets=50),
+    user_tower=UserTowerConfig(max_len=10, num_layers=1),
+    user_train=UserTrainConfig(batch_size=16, epochs=2, eval_ks=(5, 20)),
+)
+
+
+@pytest.fixture(scope="module")
+def stage2_data():
+    items, users, tx = generate_dataset(CFG.data)
+    return sasrec.prepare_stage2(CFG, items, users, tx)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return build_mesh(MeshConfig(num_data=4, num_model=1), jax.devices()[:4])
+
+
+def test_ensemble_primitives():
+    a = np.array([[1, 2, 3, 4]])
+    b = np.array([[3, 5, 6, 7]])
+    # count-mix alpha=0.5 over k=4: first 2 of a, then b dedup -> [1,2,3,5]
+    fused = count_mix_ensemble(a, b, 4, 0.5)
+    np.testing.assert_array_equal(fused[0], [1, 2, 3, 5])
+    # weighted: shared candidate 3 gets both contributions
+    sa = np.array([[4.0, 3.0, 2.0, 1.0]])
+    sb = np.array([[4.0, 3.0, 2.0, 1.0]])
+    w = weighted_score_ensemble(a, sa, b, sb, 4, 0.5)
+    assert 3 in w[0][:2]  # appears in both lists -> high fused score
+    r = rrf_ensemble(a, b, 4, k_rrf=10)
+    assert r[0][0] == 3  # rank-1+rank-1... no: 3 is rank2 in a + rank0 in b
+    # top-1 ids of each list tie; shared item 3 accumulates two terms and wins
+
+
+def test_alpha_sweep_reports_best():
+    rng = np.random.default_rng(0)
+    # model A is perfect for half the users, model B for the other half
+    user_ids = [f"u{i}" for i in range(10)]
+    targets = {u: {i + 1} for i, u in enumerate(user_ids)}
+    idx_a = rng.integers(50, 90, size=(10, 8))
+    idx_b = rng.integers(50, 90, size=(10, 8))
+    for i in range(5):
+        idx_a[i, 0] = i + 1
+    for i in range(5, 10):
+        idx_b[i, 0] = i + 1
+    sc = np.tile(np.arange(8, 0, -1, dtype=float), (10, 1))
+    rep = alpha_sweep("weighted", (idx_a, sc), (idx_b, sc), user_ids, targets,
+                      ks=(2, 4), alphas=(1.0, 0.5, 0.0))
+    # only fusion finds both halves
+    assert rep["table"][0.5]["recall@4"] > rep["table"][1.0]["recall@4"]
+    assert rep["table"][0.5]["recall@4"] > rep["table"][0.0]["recall@4"]
+    assert rep["best_alpha"] == 0.5
+
+
+def test_hybrid_training_and_ensemble(stage2_data, mesh, tmp_path):
+    rng = np.random.default_rng(1)
+    n_pad = len(stage2_data["item_map"]) + 1
+    content = rng.normal(0, 0.1, (n_pad, 128)).astype(np.float32)
+    content[0] = 0
+    gnn_items_raw = rng.normal(0, 0.1, (80, 16)).astype(np.float32)
+    gnn_ids = [f"it{i:06d}" for i in range(80)]  # partial coverage
+    gnn_items = H.align_gnn_to_catalog(gnn_items_raw, gnn_ids, stage2_data["item_map"])
+    assert gnn_items.shape == (n_pad, 16)
+    uids = stage2_data["tensors"]["user_ids"]
+    gnn_users_raw = rng.normal(0, 0.1, (len(uids), 16)).astype(np.float32)
+    gnn_users = H.align_gnn_users(gnn_users_raw, uids, uids)
+
+    state, history, (model, uv_fn, im_fn) = H.train_hybrid(
+        CFG, stage2_data, content, gnn_items, gnn_users, mesh, str(tmp_path))
+    assert len(history) == 2
+    assert all(np.isfinite(m["recall@20"]) for m in history)
+
+    # ensemble report: hybrid vs a fake gnn retrieval
+    t = stage2_data["tensors"]
+    n = t["input_ids"].shape[0]
+    bs = 16
+    uvecs = []
+    for s in range(0, n - n % bs, bs):
+        idx = np.arange(s, s + bs)
+        import jax.numpy as jnp
+        batch = {k: jnp.asarray(v[idx]) for k, v in t.items() if k != "user_ids"}
+        uvecs.append(np.asarray(uv_fn(state.params, batch, jnp.asarray(gnn_users[idx]))))
+    uvecs = np.concatenate(uvecs)
+    user_ids = t["user_ids"][: len(uvecs)]
+    ia, sa = H.topm_for_model(uvecs, np.asarray(im_fn(state.params)), 20,
+                              normalize_items=False)
+    ib, sb = ia.copy(), sa.copy()  # degenerate second model, mechanics only
+    rep = H.ensemble_report((ia, sa), (ib, sb), user_ids,
+                            stage2_data["targets_idx"], ks=(5, 20))
+    assert "count_mix" in rep and "rrf" in rep
+    assert rep["standalone_a"]["n_eval"] > 0
+    # identical models -> fusion equals standalone
+    assert rep["rrf"]["best"]["recall@20"] == pytest.approx(
+        rep["standalone_a"]["recall@20"], abs=1e-9)
