@@ -1,0 +1,177 @@
+"""Reranker training + retrieve-then-rerank inference.
+
+Covers `temp_model/ranker_skelet.py`'s three capabilities on TPU-native
+foundations:
+
+  * ``GBDTRanker`` — gradient-boosted classifier with early stopping and
+    AUC tracking (the reference's CatBoost path `:95-149`; CatBoost itself
+    is not a TPU citizen — sklearn's histogram GBDT is the drop-in);
+  * ``train_dcn`` / ``train_deepfm`` — jitted BCE training of the neural
+    rerankers with AUC eval;
+  * ``ReRankingSystem`` — user tower -> dot-product top-K candidates ->
+    feature build -> reranker proba -> final top-k (reference `:155-237`),
+    sharing the retrieval top-k path with eval/serving.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from recsys_tpu.config import Config
+from recsys_tpu.data.ranker_features import build_rank_features
+from recsys_tpu.eval.recall import topk_scores
+from recsys_tpu.models.reranker import DCNRanker, DeepFM
+from recsys_tpu.train.state import TrainState
+
+
+def auc_score(labels: np.ndarray, scores: np.ndarray) -> float:
+    """Rank-statistic AUC (ties handled by midranks)."""
+    order = np.argsort(scores, kind="stable")
+    ranks = np.empty_like(order, dtype=np.float64)
+    ranks[order] = np.arange(1, len(scores) + 1)
+    # midranks for ties
+    s_sorted = scores[order]
+    i = 0
+    while i < len(s_sorted):
+        j = i
+        while j + 1 < len(s_sorted) and s_sorted[j + 1] == s_sorted[i]:
+            j += 1
+        if j > i:
+            ranks[order[i:j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    pos = labels == 1
+    n_pos, n_neg = int(pos.sum()), int((~pos).sum())
+    if n_pos == 0 or n_neg == 0:
+        return 0.5
+    return float((ranks[pos].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
+
+
+class GBDTRanker:
+    """CatBoost-equivalent gradient-boosted reranker."""
+
+    def __init__(self, iterations: int = 200, lr: float = 0.05, depth: int = 6,
+                 early_stopping: int = 50):
+        from sklearn.ensemble import HistGradientBoostingClassifier
+
+        self.model = HistGradientBoostingClassifier(
+            max_iter=iterations, learning_rate=lr, max_depth=depth,
+            early_stopping=True, n_iter_no_change=early_stopping,
+            validation_fraction=0.15)
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "GBDTRanker":
+        self.model.fit(X, y)
+        return self
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        return self.model.predict_proba(X)[:, 1]
+
+    def auc(self, X: np.ndarray, y: np.ndarray) -> float:
+        return auc_score(y, self.predict_proba(X))
+
+    def save(self, path: str) -> None:
+        import pickle
+        with open(path, "wb") as f:
+            pickle.dump(self.model, f)
+
+    @classmethod
+    def load(cls, path: str) -> "GBDTRanker":
+        import pickle
+        obj = cls()
+        with open(path, "rb") as f:
+            obj.model = pickle.load(f)
+        return obj
+
+
+def _train_neural(model, params, X_parts, y, cfg: Config, apply_fn):
+    rc = cfg.reranker
+    tx = optax.adam(rc.lr)
+    state = TrainState.create(params, tx)
+
+    def loss_fn(p, batch_parts, labels):
+        logits = apply_fn(p, batch_parts)
+        return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, labels))
+
+    @jax.jit
+    def step(state, batch_parts, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch_parts, labels)
+        return state.apply_gradients(grads), loss
+
+    n = len(y)
+    bs = min(rc.batch_size, n)
+    rng = np.random.default_rng(0)
+    for _ in range(rc.epochs):
+        order = rng.permutation(n)
+        for s in range(0, n - n % bs, bs):
+            idx = order[s:s + bs]
+            batch = tuple(jnp.asarray(x[idx]) for x in X_parts)
+            state, loss = step(state, batch, jnp.asarray(y[idx], jnp.float32))
+    return state
+
+
+def train_dcn(cfg: Config, X: np.ndarray, y: np.ndarray):
+    model = DCNRanker(cfg.reranker)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(X[:2]))["params"]
+    state = _train_neural(model, params, (X,), y, cfg,
+                          lambda p, b: model.apply({"params": p}, b[0]))
+
+    @jax.jit
+    def predict(params, X):
+        return jax.nn.sigmoid(model.apply({"params": params}, X))
+
+    return state, model, lambda Xq: np.asarray(predict(state.params, jnp.asarray(Xq)))
+
+
+def train_deepfm(cfg: Config, ids: np.ndarray, dense: np.ndarray | None,
+                 y: np.ndarray, field_sizes: tuple[int, ...]):
+    model = DeepFM(field_sizes, cfg.reranker,
+                   num_dense=0 if dense is None else dense.shape[1])
+    if dense is None:
+        params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids[:2]))["params"]
+        state = _train_neural(model, params, (ids,), y, cfg,
+                              lambda p, b: model.apply({"params": p}, b[0]))
+
+        @jax.jit
+        def predict(params, ids):
+            return jax.nn.sigmoid(model.apply({"params": params}, ids))
+
+        return state, model, lambda i, d=None: np.asarray(
+            predict(state.params, jnp.asarray(i)))
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(ids[:2]),
+                        jnp.asarray(dense[:2]))["params"]
+    state = _train_neural(model, params, (ids, dense), y, cfg,
+                          lambda p, b: model.apply({"params": p}, b[0], b[1]))
+
+    @jax.jit
+    def predict(params, ids, dense):
+        return jax.nn.sigmoid(model.apply({"params": params}, ids, dense))
+
+    return state, model, lambda i, d: np.asarray(
+        predict(state.params, jnp.asarray(i), jnp.asarray(d)))
+
+
+@dataclass
+class ReRankingSystem:
+    """Retrieve top-``retrieve_k`` by dot product, rerank, return top-``final_k``."""
+
+    item_matrix: np.ndarray            # (N+1, D)
+    item_meta: np.ndarray              # (N+1, 2) [pop, price]
+    scorer: object                     # callable(features (B,F)) -> proba
+    retrieve_k: int = 100
+    final_k: int = 10
+
+    def recommend(self, user_vec: np.ndarray, user_meta: np.ndarray):
+        vals, idx = topk_scores(jnp.asarray(user_vec[None]),
+                                jnp.asarray(self.item_matrix), self.retrieve_k)
+        idx = np.asarray(idx)[0]
+        cand_vecs = self.item_matrix[idx]
+        feats = build_rank_features(
+            np.repeat(user_vec[None], len(idx), 0), cand_vecs,
+            np.repeat(user_meta[None], len(idx), 0), self.item_meta[idx])
+        proba = np.asarray(self.scorer(feats))
+        order = np.argsort(-proba)[: self.final_k]
+        return idx[order], proba[order]
