@@ -1,0 +1,183 @@
+"""Python binding for the native C++ vector index (ctypes), with a pure
+numpy fallback when no compiler is available.
+
+The index is the serving-side equivalent of the reference's pgvector HNSW
+(`database.py:102-113`): cosine top-k over the materialized item vectors,
+with incremental upsert/remove and binary persistence. The big TPU path
+(eval, bulk retrieval) uses eval/recall.topk_scores instead — this exists
+for low-latency host-side queries.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Sequence
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "build", "libvecindex.so")
+
+_lib = None
+
+
+def _build_native() -> bool:
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+        return os.path.exists(_SO_PATH)
+    except Exception:
+        return False
+
+
+def _load_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO_PATH) and not _build_native():
+        return None
+    lib = ctypes.CDLL(_SO_PATH)
+    lib.vecindex_create.restype = ctypes.c_void_p
+    lib.vecindex_create.argtypes = [ctypes.c_int, ctypes.c_int]
+    lib.vecindex_free.argtypes = [ctypes.c_void_p]
+    lib.vecindex_dim.argtypes = [ctypes.c_void_p]
+    lib.vecindex_dim.restype = ctypes.c_int
+    lib.vecindex_size.argtypes = [ctypes.c_void_p]
+    lib.vecindex_size.restype = ctypes.c_int64
+    lib.vecindex_add.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+                                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+    lib.vecindex_remove.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.vecindex_remove.restype = ctypes.c_int
+    lib.vecindex_topk.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+                                  ctypes.c_int64, ctypes.c_int,
+                                  ctypes.POINTER(ctypes.c_int64),
+                                  ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+    lib.vecindex_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.vecindex_save.restype = ctypes.c_int
+    lib.vecindex_load.argtypes = [ctypes.c_char_p]
+    lib.vecindex_load.restype = ctypes.c_void_p
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return _load_lib() is not None
+
+
+class VectorIndex:
+    """Cosine (or dot) top-k index; native-backed when possible."""
+
+    def __init__(self, dim: int, cosine: bool = True, _handle=None):
+        self.dim = dim
+        self.cosine = cosine
+        self._lib = _load_lib()
+        if self._lib is not None:
+            self._h = _handle if _handle is not None else \
+                self._lib.vecindex_create(dim, int(cosine))
+        else:  # numpy fallback
+            self._h = None
+            self._ids: list[int] = []
+            self._rows: dict[int, int] = {}
+            self._data = np.zeros((0, dim), np.float32)
+
+    # -- mutation ---------------------------------------------------------
+    def add(self, ids: Sequence[int], vecs: np.ndarray) -> None:
+        vecs = np.ascontiguousarray(vecs, np.float32)
+        ids_arr = np.ascontiguousarray(ids, np.int64)
+        assert vecs.shape == (len(ids_arr), self.dim)
+        if self._h is not None:
+            self._lib.vecindex_add(
+                self._h, ids_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                vecs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(ids_arr))
+            return
+        if self.cosine:
+            vecs = vecs / np.clip(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12, None)
+        for i, vid in enumerate(ids_arr.tolist()):
+            if vid in self._rows:
+                self._data[self._rows[vid]] = vecs[i]
+            else:
+                self._rows[vid] = len(self._ids)
+                self._ids.append(vid)
+                self._data = np.concatenate([self._data, vecs[i:i + 1]])
+
+    def remove(self, id_: int) -> bool:
+        if self._h is not None:
+            return bool(self._lib.vecindex_remove(self._h, int(id_)))
+        row = self._rows.pop(id_, None)
+        if row is None:
+            return False
+        last = len(self._ids) - 1
+        if row != last:
+            self._data[row] = self._data[last]
+            self._ids[row] = self._ids[last]
+            self._rows[self._ids[row]] = row
+        self._ids.pop()
+        self._data = self._data[:last]
+        return True
+
+    # -- queries ----------------------------------------------------------
+    def __len__(self) -> int:
+        if self._h is not None:
+            return int(self._lib.vecindex_size(self._h))
+        return len(self._ids)
+
+    def topk(self, queries: np.ndarray, k: int, num_threads: int = 2):
+        queries = np.ascontiguousarray(np.atleast_2d(queries), np.float32)
+        m = queries.shape[0]
+        if self._h is not None:
+            out_ids = np.empty((m, k), np.int64)
+            out_scores = np.empty((m, k), np.float32)
+            self._lib.vecindex_topk(
+                self._h, queries.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                m, k, out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                out_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                num_threads)
+            return out_ids, out_scores
+        if len(self._ids) == 0:
+            return (np.full((m, k), -1, np.int64), np.zeros((m, k), np.float32))
+        q = queries
+        if self.cosine:
+            q = q / np.clip(np.linalg.norm(q, axis=1, keepdims=True), 1e-12, None)
+        scores = q @ self._data.T
+        kk = min(k, scores.shape[1])
+        part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        out_ids = np.full((m, k), -1, np.int64)
+        out_scores = np.zeros((m, k), np.float32)
+        for r in range(m):
+            order = part[r][np.argsort(-scores[r, part[r]])]
+            out_ids[r, :kk] = np.asarray(self._ids)[order]
+            out_scores[r, :kk] = scores[r, order]
+        return out_ids, out_scores
+
+    # -- persistence ------------------------------------------------------
+    def save(self, path: str) -> None:
+        if self._h is not None:
+            if not self._lib.vecindex_save(self._h, path.encode()):
+                raise IOError(f"vecindex save failed: {path}")
+            return
+        np.savez(path + ".npz", ids=np.asarray(self._ids, np.int64),
+                 data=self._data, dim=self.dim, cosine=self.cosine)
+
+    @classmethod
+    def load(cls, path: str, dim: int | None = None) -> "VectorIndex":
+        lib = _load_lib()
+        if lib is not None and os.path.exists(path):
+            h = lib.vecindex_load(path.encode())
+            if not h:
+                raise IOError(f"vecindex load failed: {path}")
+            ix = cls(lib.vecindex_dim(ctypes.c_void_p(h)), _handle=h)
+            return ix
+        z = np.load(path + ".npz")
+        ix = cls(int(z["dim"]), bool(z["cosine"]))
+        if len(z["ids"]):
+            ix.add(z["ids"], z["data"])
+        return ix
+
+    def __del__(self):
+        if getattr(self, "_h", None) is not None and self._lib is not None:
+            try:
+                self._lib.vecindex_free(self._h)
+            except Exception:
+                pass

@@ -1,0 +1,216 @@
+"""Serving application context: DI singletons + the vectorization flows.
+
+The reference wires global model singletons through FastAPI dependencies
+(`utils/dependencies.py:42-94`) and implements the vectorize flows across
+`utils/inference_utils.py` and the (dead) batch endpoints of
+`APIController/serving_controller.py`. Here it's one ``AppContext`` object:
+
+  * ``vectorize_fn``     — items -> (B, 128) vectors. The real one tokenizes
+    + runs the item-tower encoder on TPU; a deterministic hash vectorizer is
+    the injectable test/fallback backend (mirroring the reference's
+    random-init-fallback-as-fake-backend pattern, SURVEY.md §4.4).
+  * ``process_pending``  — one idempotent batch of not-yet-vectorized
+    products: vectorize, upsert vectors, flip flags, update the ANN index
+    (the reference's loop-until-drained contract returns processed_count; a
+    caller — the hourly pipeline — loops).
+  * ``refresh_item_vectors`` — full-corpus regeneration + artifact save +
+    index rebuild (`serving_controller.py:138-180`).
+  * ``similar_items``    — cosine top-k via the native index
+    (`APIController/controller.py:61-124`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import threading
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+
+from recsys_tpu.config import Config
+from recsys_tpu.serve.ann import VectorIndex
+from recsys_tpu.serve.store import ServeStore, TrainingItem
+from recsys_tpu.train.checkpoint import save_array_with_ids
+
+
+def pid_to_int(pid: str) -> int:
+    """Stable 63-bit id for the native index (store keys are strings)."""
+    return int(hashlib.md5(pid.encode()).hexdigest()[:15], 16)
+
+
+def hash_vectorizer(dim: int = 128) -> Callable[[list[TrainingItem]], np.ndarray]:
+    """Deterministic non-learned embedding: feature tokens hashed into a
+    bag-of-features vector, L2-normalized. Similar feature payloads land
+    near each other; good enough for serving-layer tests and cold starts."""
+
+    def fn(items: list[TrainingItem]) -> np.ndarray:
+        out = np.zeros((len(items), dim), np.float32)
+        for r, it in enumerate(items):
+            tokens = [it.product_name or ""]
+            def walk(v, prefix=""):
+                if isinstance(v, dict):
+                    for k, vv in sorted(v.items()):
+                        walk(vv, f"{prefix}{k}.")
+                elif isinstance(v, (list, tuple)):
+                    for vv in v:
+                        walk(vv, prefix)
+                elif v is not None:
+                    tokens.append(f"{prefix}{v}")
+            walk(it.feature_data)
+            for t in tokens:
+                h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                out[r, h % dim] += 1.0 if (h >> 16) % 2 else -1.0
+            n = np.linalg.norm(out[r])
+            if n > 0:
+                out[r] /= n
+        return out
+
+    return fn
+
+
+def model_vectorizer(cfg: Config, params) -> Callable[[list[TrainingItem]], np.ndarray]:
+    """The real encoder-backed vectorizer: DB rows -> item tensors -> TPU
+    batch inference (the live path of `generate_and_save_item_vectors`)."""
+    import jax
+    import pandas as pd
+
+    from recsys_tpu.data.dataset import slice_item_batch, tokenize_items
+    from recsys_tpu.data.vocab import StdVocab
+    from recsys_tpu.models.item_tower import SimCSEModel
+    from recsys_tpu.train.simcse import build_model
+
+    vocab = StdVocab()
+    model = build_model(cfg, vocab.size, vocab.num_fields)
+
+    @jax.jit
+    def encode(p, std, re_ids, re_mask, txt_ids, txt_mask):
+        return model.apply({"params": p}, std, re_ids, re_mask, txt_ids,
+                           txt_mask, method=SimCSEModel.encode)
+
+    def fn(items: list[TrainingItem]) -> np.ndarray:
+        rows = []
+        for it in items:
+            row = {"item_id": it.product_id, "product_name": it.product_name}
+            fd = dict(it.feature_data)
+            row["reinforced_feature"] = fd.pop("reinforced_feature", fd.pop(
+                "reinforced_feature_value", {}))
+            row.update({k: v for k, v in fd.items() if np.isscalar(v) or v is None})
+            rows.append(row)
+        tensors = tokenize_items(pd.DataFrame(rows), vocab, cfg.vocab)
+        b = slice_item_batch(tensors, np.arange(len(rows)))
+        out = encode(params, b["std"], b["re_ids"], b["re_mask"],
+                     b["txt_ids"], b["txt_mask"])
+        # tokenize_items sorts by id; restore the caller's order
+        order = {pid: i for i, pid in enumerate(tensors["item_ids"])}
+        idx = [order[it.product_id] for it in items]
+        return np.asarray(out)[idx]
+
+    return fn
+
+
+@dataclass
+class AppContext:
+    cfg: Config
+    store: ServeStore
+    index: VectorIndex
+    vectorize_fn: Callable[[list[TrainingItem]], np.ndarray]
+    train_item_fn: Callable[..., dict] | None = None
+    train_user_fn: Callable[..., dict] | None = None
+    int_to_pid: dict[int, str] = field(default_factory=dict)
+    _bg_threads: list = field(default_factory=list)
+
+    @property
+    def batch_size(self) -> int:
+        return self.cfg.serve.batch_size
+
+    def _index_add(self, ids: list[str], vecs: np.ndarray) -> None:
+        ints = [pid_to_int(p) for p in ids]
+        self.int_to_pid.update(dict(zip(ints, ids)))
+        self.index.add(ints, vecs)
+
+    # -- flows ------------------------------------------------------------
+    def process_pending(self, batch_size: int | None = None,
+                        table: str = "inference") -> dict:
+        bs = batch_size or self.batch_size
+        items = self.store.pending_products(bs, table)
+        if not items:
+            return {"processed_count": 0, "remaining": 0}
+        vecs = self.vectorize_fn(items)
+        ids = [it.product_id for it in items]
+        self.store.save_vectors(ids, vecs, table)
+        self._index_add(ids, vecs)
+        return {"processed_count": len(ids),
+                "remaining": self.store.pending_count(table)}
+
+    def process_by_ids(self, product_ids: list[str], table: str = "inference") -> dict:
+        items = self.store.products_by_ids(product_ids, table)
+        if not items:
+            return {"processed_count": 0, "missing": product_ids}
+        vecs = self.vectorize_fn(items)
+        ids = [it.product_id for it in items]
+        self.store.save_vectors(ids, vecs, table)
+        self._index_add(ids, vecs)
+        found = set(ids)
+        return {"processed_count": len(ids),
+                "missing": [p for p in product_ids if p not in found]}
+
+    def refresh_item_vectors(self, artifact_path: str | None = None,
+                             table: str = "inference") -> dict:
+        items = self.store.all_products(table)
+        if not items:
+            return {"count": 0}
+        all_ids, chunks = [], []
+        bs = self.batch_size * self.cfg.serve.fast_mode_multiplier
+        for s in range(0, len(items), bs):
+            chunk = items[s:s + bs]
+            chunks.append(self.vectorize_fn(chunk))
+            all_ids.extend(it.product_id for it in chunk)
+        vecs = np.concatenate(chunks)
+        self.store.save_vectors(all_ids, vecs, table)
+        self._index_add(all_ids, vecs)
+        if artifact_path:
+            os.makedirs(os.path.dirname(artifact_path) or ".", exist_ok=True)
+            full = np.concatenate([np.zeros((1, vecs.shape[1]), np.float32), vecs])
+            save_array_with_ids(artifact_path, full, all_ids,
+                                meta={"source": "refresh_item_vectors"})
+        return {"count": len(all_ids)}
+
+    def similar_items(self, item_id: str, top_k: int | None = None) -> dict:
+        vec = self.store.get_vector(item_id)
+        if vec is None:
+            return {"error": f"no vector for {item_id}", "results": []}
+        k = (top_k or self.cfg.serve.similarity_top_k) + 1
+        ids, scores = self.index.topk(vec[None], k)
+        results = []
+        for i, s in zip(ids[0].tolist(), scores[0].tolist()):
+            pid = self.int_to_pid.get(i)
+            if pid is None or pid == item_id:
+                continue
+            results.append({"product_id": pid, "score": round(float(s), 6)})
+        return {"query": item_id, "results": results[: k - 1]}
+
+    def start_background(self, fn, *args) -> str:
+        t = threading.Thread(target=fn, args=args, daemon=True)
+        t.start()
+        self._bg_threads.append(t)
+        return f"bg-{len(self._bg_threads)}"
+
+
+def build_app_context(cfg: Config, vectorizer: Callable | None = None) -> AppContext:
+    store = ServeStore(cfg.serve.db_path if cfg.serve.db_path == ":memory:"
+                       else _ensure_dir(cfg.serve.db_path))
+    index = VectorIndex(cfg.item_tower.dim, cosine=True)
+    ctx = AppContext(cfg, store, index,
+                     vectorizer or hash_vectorizer(cfg.item_tower.dim))
+    # warm the index from any vectors already in the store
+    ids, vecs = store.all_vectors()
+    if len(ids):
+        ctx._index_add(ids, vecs)
+    return ctx
+
+
+def _ensure_dir(path: str) -> str:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    return path

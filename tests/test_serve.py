@@ -1,0 +1,167 @@
+"""Serving layer: native vector index, sqlite store, app flows, HTTP routes."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from recsys_tpu.config import Config, ServeConfig
+from recsys_tpu.serve.ann import VectorIndex, native_available
+from recsys_tpu.serve.app import AppContext, build_app_context, hash_vectorizer
+from recsys_tpu.serve.server import make_server, serve_forever_in_thread
+from recsys_tpu.serve.store import ActionType, ServeStore
+
+CFG = Config(serve=ServeConfig(db_path=":memory:", batch_size=8))
+
+
+def _products(n, prefix="p"):
+    return [{"product_id": f"{prefix}{i}",
+             "product_name": f"blue cotton shirt {i}",
+             "feature_data": {"reinforced_feature": {"CAT": ["shirt"],
+                                                     "COL": ["blue" if i % 2 else "red"]}}}
+            for i in range(n)]
+
+
+def test_vector_index_exact_topk():
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(200, 32)).astype(np.float32)
+    ix = VectorIndex(32)
+    ix.add(np.arange(200) + 1000, vecs)
+    ids, scores = ix.topk(vecs[:4], 5, num_threads=2)
+    # exact match vs numpy cosine
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    ref = vn[:4] @ vn.T
+    for r in range(4):
+        expect = np.argsort(-ref[r])[:5] + 1000
+        np.testing.assert_array_equal(ids[r], expect)
+    assert native_available()  # g++ is baked in; the native path must build
+
+
+def test_store_ingest_upsert_semantics():
+    store = ServeStore()
+    r1 = store.ingest_products(_products(3))
+    assert r1 == {"created": 3, "updated": 0, "unchanged": 0}
+    # vectorize all, then re-ingest: unchanged payload keeps flags
+    items = store.pending_products(10)
+    store.save_vectors([i.product_id for i in items], np.ones((3, 4), np.float32))
+    assert store.pending_count() == 0
+    r2 = store.ingest_products(_products(3))
+    assert r2["unchanged"] == 3 and store.pending_count() == 0
+    # changed payload resets is_vectorized
+    changed = _products(3)
+    changed[0]["feature_data"]["reinforced_feature"]["COL"] = ["green"]
+    r3 = store.ingest_products(changed)
+    assert r3["updated"] == 1 and store.pending_count() == 1
+
+
+def test_store_manual_data_validation():
+    store = ServeStore()
+    store.ingest_products(_products(2))
+    sessions = [{"user_id": "u1", "events": [
+        {"product_id": "p0", "action_type": int(ActionType.PURCHASE)}]}]
+    r = store.insert_manual_data([{"user_id": "u1"}], sessions)
+    assert r["ok"] is False and r["missing_product_vectors"] == ["p0"]
+    store.save_vectors(["p0"], np.ones((1, 4), np.float32))
+    r2 = store.insert_manual_data([{"user_id": "u1"}], sessions)
+    assert r2["ok"] and r2["events"] == 1
+    ps = store.purchase_sessions()
+    assert len(ps) == 1 and ps[0]["user_id"] == "u1"
+
+
+def test_app_process_pending_drains():
+    ctx = build_app_context(CFG)
+    ctx.store.ingest_products(_products(20))
+    total, loops = 0, 0
+    while loops < 100:  # the DAG loop contract
+        r = ctx.process_pending()
+        if r["processed_count"] == 0:
+            break
+        total += r["processed_count"]
+        loops += 1
+    assert total == 20 and ctx.store.pending_count() == 0
+    assert len(ctx.index) == 20
+    # idempotent: nothing left
+    assert ctx.process_pending()["processed_count"] == 0
+    # similarity: same-color shirts cluster under the hash vectorizer
+    sim = ctx.similar_items("p0", top_k=5)
+    assert sim["results"] and sim["results"][0]["product_id"] != "p0"
+
+
+def test_app_process_by_ids_and_refresh(tmp_path):
+    ctx = build_app_context(CFG)
+    ctx.store.ingest_products(_products(6))
+    r = ctx.process_by_ids(["p1", "p3", "nope"])
+    assert r["processed_count"] == 2 and r["missing"] == ["nope"]
+    r2 = ctx.refresh_item_vectors(str(tmp_path / "mat"))
+    assert r2["count"] == 6
+    from recsys_tpu.train.checkpoint import load_array_with_ids
+    arr, ids, _ = load_array_with_ids(str(tmp_path / "mat"))
+    assert arr.shape == (7, 128) and ids[0] == "<pad>"
+
+
+@pytest.fixture()
+def http_ctx():
+    ctx = build_app_context(CFG)
+    ctx.train_item_fn = lambda **kw: {"trained": True, "epochs": kw.get("epochs", 1)}
+    ctx.train_user_fn = lambda **kw: {"trained": "user"}
+    server = make_server(ctx, host="127.0.0.1", port=0)
+    serve_forever_in_thread(server)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield ctx, base
+    server.shutdown()
+
+
+def _call(base, method, path, payload=None):
+    req = urllib.request.Request(
+        base + path, method=method,
+        data=None if payload is None else json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_contract(http_ctx):
+    ctx, base = http_ctx
+    code, health = _call(base, "GET", "/")
+    assert code == 200 and health["status"] == "ok"
+
+    code, r = _call(base, "POST", "/api/controller/products/ingest",
+                    {"products": _products(10, "q")})
+    assert code == 200 and r["created"] == 10
+
+    # loop-until-drained (hourly DAG contract)
+    drained = 0
+    for _ in range(100):
+        code, r = _call(base, "POST", "/ai-api/serving/vectors/process-pending", {})
+        assert code == 200
+        if r["processed_count"] == 0:
+            break
+        drained += r["processed_count"]
+    assert drained == 10
+
+    code, sim = _call(base, "GET", "/api/controller/similarity/q1?top_k=3")
+    assert code == 200 and len(sim["results"]) == 3
+
+    code, r = _call(base, "POST", "/ai-api/serving/vectors/process-by-ids",
+                    {"product_ids": ["q2"]})
+    assert code == 200 and r["processed_count"] == 1
+
+    code, r = _call(base, "POST", "/ai-api/serving/train/item-tower", {"epochs": 2})
+    assert code == 200 and r == {"trained": True, "epochs": 2}
+    code, r = _call(base, "POST", "/ai-api/serving/train/start", {})
+    assert code == 200 and r["started"]
+    code, r = _call(base, "POST", "/ai-api/serving/train/user-tower", {})
+    assert code == 200 and r == {"trained": "user"}
+
+    code, r = _call(base, "POST", "/api/v1/debug/insert-manual-data",
+                    {"users": [{"user_id": "u9"}],
+                     "sessions": [{"user_id": "u9", "events": [
+                         {"product_id": "q1", "action_type": 5}]}]})
+    assert code == 200 and r["ok"]
+
+    code, r = _call(base, "GET", "/definitely/not/a/route")
+    assert code == 404
