@@ -78,9 +78,13 @@ def tokenize_items(items: pd.DataFrame, vocab: StdVocab, cfg: VocabConfig) -> di
 
     for r, row in enumerate(items.to_dict("records")):
         std[r] = vocab.encode_item(row)
-        re_feat = row.get("reinforced_feature") or {}
+        re_feat = row.get("reinforced_feature")
+        if re_feat is None or (hasattr(re_feat, "__len__") and len(re_feat) == 0):
+            re_feat = {}
         for f, key in enumerate(RE_FEATURE_KEYS):
-            values = re_feat.get(key) or []
+            values = re_feat.get(key)  # may be list OR numpy array (parquet)
+            if values is None:
+                values = []
             pos = 0
             for v_i, value in enumerate(values):
                 for w in tok.normalize(str(value)):

@@ -1,0 +1,407 @@
+"""Pipeline CLI — the orchestration layer.
+
+The reference drives its pipeline through Airflow DAGs calling FastAPI
+endpoints (SURVEY.md §2.11: hourly ingest->vectorize loop, weekly retrain).
+Here every stage is a plain CLI command over shared artifacts, and
+``orchestrate`` reproduces the DAG contract (HTTP loop-until-drained +
+scheduled retrain) against a running server. The stages:
+
+  gen-data       synthetic persona world -> parquet (items/users/transactions)
+  enrich         fake-LLM RE-feature enrichment stage (prompt contract in
+                 llm_prompts/; deterministic rules, SURVEY.md §7.1)
+  etl            splits + item/user/sequence features + validation targets
+  train-item     stage-1 SimCSE                       -> checkpoints
+  vectorize      materialize the (N+1,128) item matrix artifact
+  train-user     stage-2 SASRec                       -> checkpoints + recall
+  train-gnn      LightGCL                             -> graph embeddings
+  distill        magnitude->cosine projector          -> distilled vectors
+  train-reranker GBDT + DCN over two-tower features   -> AUC report
+  eval           retrieval recall + ensemble sweeps   -> eval.json
+  serve          HTTP server wired with the model vectorizer
+  orchestrate    hourly/weekly scheduler loop against a server (--once)
+
+The reference has *no* CLI at all (SURVEY.md §5 config); this one config
+tree + stage set replaces its four config styles and hardcoded paths.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+
+from recsys_tpu.config import Config, load_config, to_dict
+
+
+def _paths(cfg: Config) -> dict:
+    root = cfg.data.root
+    return {
+        "root": root,
+        "items": f"{root}/items.parquet",
+        "users": f"{root}/users.parquet",
+        "tx": f"{root}/transactions.parquet",
+        "item_feats": f"{root}/features_item.parquet",
+        "user_feats": f"{root}/features_user.parquet",
+        "seqs": f"{root}/features_sequence.parquet",
+        "targets": f"{root}/targets_val.json",
+        "item_ckpts": f"{root}/ckpt_item",
+        "user_ckpts": f"{root}/ckpt_user",
+        "gnn_ckpts": f"{root}/ckpt_gnn",
+        "item_matrix": f"{root}/item_matrix",
+        "gnn_prefix": f"{root}/gnn",
+        "distilled": f"{root}/gnn_distilled_items",
+        "eval": f"{root}/eval.json",
+    }
+
+
+def _load_world(cfg: Config):
+    p = _paths(cfg)
+    items = pd.read_parquet(p["items"])
+    users = pd.read_parquet(p["users"])
+    tx = pd.read_parquet(p["tx"])
+    return items, users, tx
+
+
+def _mesh(cfg: Config):
+    from recsys_tpu.parallel.mesh import build_mesh
+    return build_mesh(cfg.mesh)
+
+
+def cmd_gen_data(cfg: Config, args) -> dict:
+    from recsys_tpu.data.synthetic import generate_dataset
+    p = _paths(cfg)
+    os.makedirs(p["root"], exist_ok=True)
+    items, users, tx = generate_dataset(cfg.data)
+    items.to_parquet(p["items"])
+    users.to_parquet(p["users"])
+    tx.to_parquet(p["tx"])
+    return {"items": len(items), "users": len(users), "transactions": len(tx)}
+
+
+def cmd_enrich(cfg: Config, args) -> dict:
+    """Re-run the LLM enrichment stage over the item master (idempotent)."""
+    from recsys_tpu.data.synthetic import enrich_item
+    p = _paths(cfg)
+    items = pd.read_parquet(p["items"])
+    enriched = [enrich_item(r)["reinforced_feature_value"]
+                for r in items.to_dict("records")]
+    items["reinforced_feature"] = enriched
+    items.to_parquet(p["items"])
+    return {"enriched": len(items)}
+
+
+def cmd_etl(cfg: Config, args) -> dict:
+    from recsys_tpu.data import etl
+    p = _paths(cfg)
+    items, users, tx = _load_world(cfg)
+    train_tx, valid_tx, split_day = etl.time_split(tx, cfg.data.valid_days)
+    item_feats = etl.make_item_features(train_tx, items, split_day)
+    user_feats, _ = etl.make_user_features(train_tx, users, split_day)
+    seqs = etl.make_sequences(train_tx, cfg.data.max_seq_len)
+    targets = etl.make_validation_target(valid_tx)
+    item_feats.to_parquet(p["item_feats"])
+    user_feats.to_parquet(p["user_feats"])
+    seqs.to_parquet(p["seqs"])
+    with open(p["targets"], "w") as f:
+        json.dump(targets, f)
+    sanity = etl.final_sanity_check(seqs, targets)
+    missing = etl.deep_inspect_missing_items(tx, items)
+    return {"split_day": split_day, "sanity": sanity, "missing": missing}
+
+
+def cmd_train_item(cfg: Config, args) -> dict:
+    from recsys_tpu.data.dataset import tokenize_items
+    from recsys_tpu.data.vocab import StdVocab
+    from recsys_tpu.train.simcse import train_simcse
+    p = _paths(cfg)
+    items, _, _ = _load_world(cfg)
+    tensors = tokenize_items(items, StdVocab(), cfg.vocab)
+    state = train_simcse(cfg, tensors, _mesh(cfg), p["item_ckpts"],
+                         init_ckpt=getattr(args, "init_ckpt", None))
+    return {"steps": int(state.step), "ckpt_dir": p["item_ckpts"]}
+
+
+def cmd_vectorize(cfg: Config, args) -> dict:
+    from recsys_tpu.data.dataset import tokenize_items
+    from recsys_tpu.data.vocab import StdVocab
+    from recsys_tpu.train.checkpoint import CheckpointStore
+    from recsys_tpu.train.simcse import build_model, init_params, materialize_item_vectors
+    import jax
+    p = _paths(cfg)
+    items, _, _ = _load_world(cfg)
+    tensors = tokenize_items(items, StdVocab(), cfg.vocab)
+    from recsys_tpu.data.vocab import StdVocab as SV
+    model = build_model(cfg, SV().size, tensors["std"].shape[1])
+    params = init_params(model, tensors, jax.random.PRNGKey(0))
+    store = CheckpointStore(p["item_ckpts"], maximize=False)
+    try:
+        restored, entry = store.restore_best({"params": params})
+        params = restored["params"]
+    except FileNotFoundError:
+        pass  # random-init fallback, reference behavior
+    mat = materialize_item_vectors(cfg, params, tensors, _mesh(cfg), p["item_matrix"])
+    return {"matrix": p["item_matrix"], "shape": list(mat.shape)}
+
+
+def cmd_train_user(cfg: Config, args) -> dict:
+    from recsys_tpu.train.checkpoint import load_array_with_ids, align_rows
+    from recsys_tpu.train.sasrec import prepare_stage2, train_user_tower
+    p = _paths(cfg)
+    items, users, tx = _load_world(cfg)
+    data = prepare_stage2(cfg, items, users, tx)
+    pretrained = None
+    try:
+        mat, ids, _ = load_array_with_ids(p["item_matrix"])
+        aligned, _ = align_rows(mat[1:], ids[1:], data["item_map"].ids, fill="random")
+        pretrained = np.concatenate(
+            [np.zeros((1, mat.shape[1]), np.float32), aligned])
+    except FileNotFoundError:
+        pass
+    state, history, _ = train_user_tower(
+        cfg, data, pretrained, _mesh(cfg), p["user_ckpts"],
+        resume=getattr(args, "resume", False))
+    return {"epochs": len(history), "final": history[-1] if history else {}}
+
+
+def cmd_train_gnn(cfg: Config, args) -> dict:
+    from recsys_tpu.train.gnn import (
+        export_gnn_artifacts, gnn_propagation_check, graph_from_transactions,
+        train_lightgcl)
+    p = _paths(cfg)
+    items, users, tx = _load_world(cfg)
+    from recsys_tpu.data.etl import time_split
+    train_tx, _, _ = time_split(tx, cfg.data.valid_days)
+    user_ids = sorted(train_tx["user_id"].unique())
+    item_ids = sorted(items["item_id"].astype(str))
+    user_map = {u: r for r, u in enumerate(user_ids)}
+    item_map = {i: r for r, i in enumerate(item_ids)}
+    graph = graph_from_transactions(train_tx, user_map, item_map, cfg.gnn,
+                                    cfg.data.seed)
+    eu = np.array([user_map[u] for u in train_tx["user_id"]])
+    ei = np.array([item_map[i] for i in train_tx["item_id"]])
+    state, _ = train_lightgcl(cfg, graph, eu, ei, p["gnn_ckpts"],
+                              resume=getattr(args, "resume", False),
+                              fine_tune=getattr(args, "fine_tune", False))
+    export_gnn_artifacts(state.params, graph, user_ids, item_ids, p["gnn_prefix"],
+                         cfg.gnn.num_layers)
+    return {"check": gnn_propagation_check(state.params, graph)}
+
+
+def cmd_distill(cfg: Config, args) -> dict:
+    from recsys_tpu.train.checkpoint import load_array_with_ids, save_array_with_ids
+    from recsys_tpu.train.gnn import distilled_vectors, train_distill
+    p = _paths(cfg)
+    tu, _, _ = load_array_with_ids(p["gnn_prefix"] + "_users")
+    ti, ids, _ = load_array_with_ids(p["gnn_prefix"] + "_items")
+    state, model = train_distill(cfg, tu, ti, p["gnn_ckpts"])
+    out = distilled_vectors(state, model, ti)
+    save_array_with_ids(p["distilled"], out, ids,
+                        meta={"space": "gnn_cosine_distilled"})
+    return {"distilled": p["distilled"], "shape": list(out.shape)}
+
+
+def cmd_train_reranker(cfg: Config, args) -> dict:
+    from recsys_tpu.data.dataset import IdMap
+    from recsys_tpu.data.etl import time_split
+    from recsys_tpu.data.ranker_features import build_rank_features, import_interactions
+    from recsys_tpu.train.checkpoint import load_array_with_ids
+    from recsys_tpu.train.reranker import GBDTRanker, auc_score, train_dcn
+    p = _paths(cfg)
+    items, users, tx = _load_world(cfg)
+    train_tx, valid_tx, _ = time_split(tx, cfg.data.valid_days)
+    mat, ids, _ = load_array_with_ids(p["item_matrix"])
+    item_map = IdMap(ids[1:])
+    rng = np.random.default_rng(cfg.data.seed)
+    uids, iidx, labels, groups = import_interactions(
+        train_tx.tail(20000), len(item_map), item_map, rng, cfg.reranker.neg_per_pos)
+    # user vector = mean of purchased item vectors (two-tower stand-in when
+    # the user tower hasn't been trained yet)
+    uvecs = {}
+    for uid, g in train_tx.groupby("user_id"):
+        rows = [item_map.idx(i) for i in g["item_id"]]
+        uvecs[uid] = mat[[r for r in rows if r > 0]].mean(0) if rows else mat[0]
+    ifeats = pd.read_parquet(p["item_feats"]).set_index("item_id")
+    pop = np.zeros(len(mat), np.float32)
+    price = np.zeros(len(mat), np.float32)
+    for iid, r in zip(item_map.ids, range(1, len(mat))):
+        if iid in ifeats.index:
+            pop[r] = ifeats.loc[iid, "pop_1m_log"]
+            price[r] = ifeats.loc[iid, "avg_item_price_log"]
+    u_arr = np.stack([uvecs.get(u, mat[0]) for u in uids])
+    i_arr = mat[iidx]
+    um = np.zeros((len(uids), 3), np.float32)
+    im = np.stack([pop[iidx], price[iidx]], axis=1)
+    X = build_rank_features(u_arr, i_arr, um, im)
+    y = labels
+    split = int(0.8 * len(y))
+    gbdt = GBDTRanker(iterations=getattr(args, "iterations", 200)).fit(
+        X[:split], y[:split])
+    gbdt_auc = gbdt.auc(X[split:], y[split:])
+    _, _, predict = train_dcn(cfg, X[:split], y[:split])
+    dcn_auc = auc_score(y[split:], predict(X[split:]))
+    gbdt.save(f"{p['root']}/reranker_gbdt.pkl")
+    return {"gbdt_auc": round(gbdt_auc, 4), "dcn_auc": round(dcn_auc, 4)}
+
+
+def cmd_eval(cfg: Config, args) -> dict:
+    from recsys_tpu.train.checkpoint import CheckpointStore, load_array_with_ids, align_rows
+    from recsys_tpu.train.sasrec import (
+        evaluate_stage2, init_stage2_params, make_stage2_step, prepare_stage2,
+        train_user_tower, _slice)
+    from recsys_tpu.train.state import TrainState
+    import jax
+    import optax
+    p = _paths(cfg)
+    items, users, tx = _load_world(cfg)
+    data = prepare_stage2(cfg, items, users, tx)
+    mat, ids, _ = load_array_with_ids(p["item_matrix"])
+    aligned, _ = align_rows(mat[1:], ids[1:], data["item_map"].ids, fill="random")
+    pretrained = np.concatenate([np.zeros((1, mat.shape[1]), np.float32), aligned])
+    n = data["tensors"]["input_ids"].shape[0]
+    bs = min(cfg.user_train.batch_size, max(n - n % 8, 8))
+    sample = _slice(data["tensors"], np.arange(min(bs, n)))
+    params, models = init_stage2_params(cfg, len(data["item_map"]) + 1,
+                                        pretrained, jax.random.PRNGKey(0), sample)
+    state = TrainState.create(params, optax.sgd(0.0))
+    store = CheckpointStore(p["user_ckpts"], maximize=True)
+    try:
+        tmpl = TrainState.create(params, make_tx := _eval_tx(cfg, params, n, bs))
+        restored, entry = store.restore_best(tmpl)
+        params = restored.params
+    except FileNotFoundError:
+        pass
+    _, uv_fn = make_stage2_step(cfg, models, data["side"], data["logq"])
+    metrics = evaluate_stage2(cfg, params, uv_fn, data, _mesh(cfg), bs)
+    with open(p["eval"], "w") as f:
+        json.dump(metrics, f, indent=1)
+    return metrics
+
+
+def _eval_tx(cfg, params, n, bs):
+    from recsys_tpu.train.sasrec import make_stage2_optimizer
+    return make_stage2_optimizer(cfg, params, max(n // bs, 1))
+
+
+def cmd_serve(cfg: Config, args) -> dict:
+    from recsys_tpu.serve.app import build_app_context, model_vectorizer
+    from recsys_tpu.serve.server import make_server
+    vec = None
+    if getattr(args, "model_backed", False):
+        import jax
+        from recsys_tpu.data.dataset import tokenize_items
+        from recsys_tpu.data.vocab import StdVocab
+        from recsys_tpu.train.checkpoint import CheckpointStore
+        from recsys_tpu.train.simcse import build_model, init_params
+        p = _paths(cfg)
+        items, _, _ = _load_world(cfg)
+        tensors = tokenize_items(items, StdVocab(), cfg.vocab)
+        model = build_model(cfg, StdVocab().size, tensors["std"].shape[1])
+        params = init_params(model, tensors, jax.random.PRNGKey(0))
+        try:
+            restored, _ = CheckpointStore(p["item_ckpts"], maximize=False) \
+                .restore_best({"params": params})
+            params = restored["params"]
+        except FileNotFoundError:
+            pass
+        vec = model_vectorizer(cfg, params)
+    ctx = build_app_context(cfg, vec)
+    server = make_server(ctx, port=getattr(args, "port", None))
+    print(f"serving on {server.server_address}")
+    server.serve_forever()
+    return {}
+
+
+def cmd_orchestrate(cfg: Config, args) -> dict:
+    """The Airflow-DAG contract against a running server: hourly
+    ingest -> loop process-pending until drained (cap 100); weekly
+    POST /train/start. ``--once`` runs a single hourly cycle."""
+    import urllib.request
+
+    base = getattr(args, "server", None) or \
+        f"http://{cfg.serve.host}:{cfg.serve.port}"
+
+    def call(method, path, payload=None):
+        req = urllib.request.Request(
+            base + path, method=method,
+            data=None if payload is None else json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return json.loads(resp.read())
+
+    def hourly_cycle():
+        drained, loops = 0, 0
+        while loops < 100:  # loop cap, reference `product_pipeline_dag.py:81-83`
+            r = call("POST", "/ai-api/serving/vectors/process-pending", {})
+            if r.get("processed_count", 0) == 0:
+                break
+            drained += r["processed_count"]
+            loops += 1
+        return {"vectorized": drained, "loops": loops}
+
+    if getattr(args, "once", False):
+        return hourly_cycle()
+
+    last_weekly = 0.0
+    while True:  # pragma: no cover — long-running scheduler
+        out = hourly_cycle()
+        print(json.dumps({"hourly": out, "t": time.time()}))
+        if time.time() - last_weekly > 7 * 24 * 3600:
+            call("POST", "/ai-api/serving/train/start", {})
+            last_weekly = time.time()
+        time.sleep(3600)
+
+
+COMMANDS = {
+    "gen-data": cmd_gen_data,
+    "enrich": cmd_enrich,
+    "etl": cmd_etl,
+    "train-item": cmd_train_item,
+    "vectorize": cmd_vectorize,
+    "train-user": cmd_train_user,
+    "train-gnn": cmd_train_gnn,
+    "distill": cmd_distill,
+    "train-reranker": cmd_train_reranker,
+    "eval": cmd_eval,
+    "serve": cmd_serve,
+    "orchestrate": cmd_orchestrate,
+}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("recsys_tpu pipeline")
+    parser.add_argument("command", choices=sorted(COMMANDS))
+    parser.add_argument("--config", default=None, help="JSON config overrides file")
+    parser.add_argument("--set", action="append", default=[],
+                        help="dotted overrides, e.g. --set data.num_items=500")
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--fine-tune", action="store_true", dest="fine_tune")
+    parser.add_argument("--once", action="store_true")
+    parser.add_argument("--server", default=None)
+    parser.add_argument("--port", type=int, default=None)
+    parser.add_argument("--model-backed", action="store_true", dest="model_backed")
+    parser.add_argument("--init-ckpt", default=None, dest="init_ckpt")
+    args = parser.parse_args(argv)
+
+    overrides: dict = {}
+    for kv in args.set:
+        key, _, raw = kv.partition("=")
+        node = overrides
+        parts = key.split(".")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        try:
+            node[parts[-1]] = json.loads(raw)
+        except json.JSONDecodeError:
+            node[parts[-1]] = raw
+    cfg = load_config(args.config, overrides)
+    result = COMMANDS[args.command](cfg, args)
+    print(json.dumps({"command": args.command, **(result or {})}, default=str))
+    return result
+
+
+if __name__ == "__main__":
+    main()

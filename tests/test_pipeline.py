@@ -1,0 +1,92 @@
+"""End-to-end pipeline CLI: every stage at tiny scale over one artifact dir,
+plus the orchestrate --once DAG contract against a live server."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from recsys_tpu.pipeline import cli
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("pipeline"))
+
+
+def _run(workdir, command, *extra):
+    argv = [command,
+            "--set", f"data.root={workdir}",
+            "--set", "data.num_items=80", "--set", "data.num_users=40",
+            "--set", "data.days=40",
+            "--set", "user_tower.max_len=10", "--set", "user_tower.num_layers=1",
+            "--set", "user_train.batch_size=16", "--set", "user_train.epochs=1",
+            "--set", "user_train.eval_ks=[5,20]",
+            "--set", "simcse.batch_size=16", "--set", "simcse.epochs=1",
+            "--set", "gnn.batch_size=256", "--set", "gnn.epochs=2",
+            "--set", "gnn.emb_dim=16", "--set", "gnn.svd_rank=4",
+            "--set", "distill.epochs=50", "--set", "distill.out_dim=16",
+            "--set", "reranker.epochs=5",
+            "--set", "vocab.max_field_tokens=8", "--set", "vocab.max_name_tokens=8",
+            "--set", "item_tower.head_hidden=[128]",
+            "--set", "item_tower.fusion_layers=1", "--set", "item_tower.text_layers=1",
+            ] + list(extra)
+    return cli.main(argv)
+
+
+def test_full_pipeline_stages(workdir):
+    r = _run(workdir, "gen-data")
+    assert r["items"] == 80 and r["transactions"] > 300
+
+    r = _run(workdir, "enrich")
+    assert r["enriched"] == 80
+
+    r = _run(workdir, "etl")
+    assert r["sanity"]["pad_inside_sequence"] == 0
+    assert r["missing"]["missing_tx"] == 0
+    assert os.path.exists(f"{workdir}/features_item.parquet")
+
+    r = _run(workdir, "train-item")
+    assert r["steps"] > 0
+
+    r = _run(workdir, "vectorize")
+    assert r["shape"] == [81, 128]
+
+    r = _run(workdir, "train-user")
+    assert r["epochs"] == 1 and "recall@20" in r["final"]
+
+    r = _run(workdir, "train-gnn")
+    assert r["check"]["ok"]
+
+    r = _run(workdir, "distill")
+    assert r["shape"][1] == 16
+
+    r = _run(workdir, "train-reranker")
+    assert 0.0 <= r["gbdt_auc"] <= 1.0 and 0.0 <= r["dcn_auc"] <= 1.0
+
+    r = _run(workdir, "eval")
+    assert "recall@20" in r and np.isfinite(r["recall@20"])
+    saved = json.load(open(f"{workdir}/eval.json"))
+    assert saved["n_eval"] > 0
+
+
+def test_orchestrate_once_against_server(workdir):
+    from recsys_tpu.config import Config, ServeConfig
+    from recsys_tpu.serve.app import build_app_context
+    from recsys_tpu.serve.server import make_server, serve_forever_in_thread
+
+    cfg = Config(serve=ServeConfig(db_path=":memory:", batch_size=4))
+    ctx = build_app_context(cfg)
+    ctx.store.ingest_products([
+        {"product_id": f"x{i}", "product_name": f"p {i}",
+         "feature_data": {"reinforced_feature": {"CAT": ["shirt"]}}}
+        for i in range(10)])
+    server = make_server(ctx, host="127.0.0.1", port=0)
+    serve_forever_in_thread(server)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    try:
+        out = cli.main(["orchestrate", "--once", "--server", base])
+        assert out["vectorized"] == 10 and out["loops"] == 3  # ceil(10/4)
+    finally:
+        server.shutdown()
