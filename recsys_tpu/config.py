@@ -74,6 +74,7 @@ class SimCSEConfig:
     feature_dropout: float = 0.2   # view-corruption prob (`item_tower.py:341-394`)
     global_negatives: bool = True  # all-gather embeddings across the data axis
     metrics_every: int = 50        # alignment/uniformity cadence (`item_tower.py:1090`)
+    kernel: str = "auto"           # contrastive kernel: auto | pallas | xla
 
 
 @dataclass(frozen=True)
@@ -119,6 +120,7 @@ class UserTrainConfig:
     positions_per_user: int = 4
     plateau_factor: float = 0.5    # ReduceLROnPlateau on Recall@100
     plateau_patience: int = 2
+    kernel: str = "auto"           # contrastive kernel: auto | pallas | xla
 
 
 @dataclass(frozen=True)

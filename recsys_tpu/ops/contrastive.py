@@ -79,6 +79,10 @@ def inbatch_logq_loss(user_emb: jnp.ndarray, item_emb: jnp.ndarray,
     if user_ids is not None:
         same_user = user_ids[None, :] == user_ids[:, None]
         mask = mask | (same_user & ~eye)
+    if valid is not None:
+        # invalid rows would not exist at all in the reference's dynamic
+        # flattening — mask them out as candidate columns too
+        mask = mask | ((valid[None, :] == 0) & ~eye)
     logits = jnp.where(mask, NEG, logits)
     logp = jnp.diagonal(jax.nn.log_softmax(logits, axis=-1))
     if valid is None:

@@ -33,7 +33,8 @@ from recsys_tpu.data.dataset import batch_iterator, build_sasrec_tensors, build_
 from recsys_tpu.eval.recall import recall_at_ks, topk_scores
 from recsys_tpu.models.layers import l2_normalize
 from recsys_tpu.models.user_tower import SASRecItemTower, SASRecUserTower
-from recsys_tpu.ops.contrastive import duorec_loss, inbatch_logq_loss
+from recsys_tpu.ops import select_logq_loss
+from recsys_tpu.ops.contrastive import duorec_loss
 from recsys_tpu.parallel.mesh import data_sharding, replicated
 from recsys_tpu.train.checkpoint import CheckpointStore, align_rows
 from recsys_tpu.train.metrics import MetricWriter, gate_weights
@@ -108,6 +109,7 @@ def make_stage2_optimizer(cfg: Config, params, steps_per_epoch: int):
 def make_stage2_step(cfg: Config, models, side: np.ndarray, logq: np.ndarray):
     user_model, item_model = models
     ut, utc = cfg.user_train, cfg.user_tower
+    logq_loss = select_logq_loss(ut.kernel)
     side_c = jnp.asarray(side)
     logq_c = jnp.asarray(logq)
     P_ = ut.positions_per_user
@@ -135,7 +137,7 @@ def make_stage2_step(cfg: Config, models, side: np.ndarray, logq: np.ndarray):
         tgt_ids = jnp.take_along_axis(batch["target_ids"], pos, axis=1).reshape(-1)
         tgt_emb = l2_normalize(item_model.apply({"params": params["item"]}, tgt_ids))
         user_row_ids = jnp.repeat(jnp.arange(B), P_)
-        main = inbatch_logq_loss(
+        main = logq_loss(
             rows, tgt_emb, tgt_ids, logq_c, temperature=ut.temperature,
             lambda_logq=ut.lambda_logq, user_ids=user_row_ids)
         cl = duorec_loss(u1[:, -1], u2[:, -1], batch["target_ids"][:, -1],

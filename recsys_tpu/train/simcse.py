@@ -34,7 +34,7 @@ from recsys_tpu.config import Config
 from recsys_tpu.data.dataset import batch_iterator, slice_item_batch
 from recsys_tpu.models.item_tower import SimCSEModel
 from recsys_tpu.ops.augment import two_views
-from recsys_tpu.ops.contrastive import bidirectional_infonce
+from recsys_tpu.ops import select_infonce
 from recsys_tpu.parallel.mesh import data_sharding, replicated
 from recsys_tpu.train.checkpoint import CheckpointStore, save_array_with_ids
 from recsys_tpu.train.metrics import MetricWriter, alignment, uniformity
@@ -66,6 +66,7 @@ def make_optimizer(cfg: Config, params, total_steps: int):
 
 def make_train_step(model: SimCSEModel, cfg: Config):
     sc = cfg.simcse
+    infonce = select_infonce(sc.kernel)
 
     def loss_fn(params, batch, key):
         kv, kd1, kd2 = jax.random.split(key, 3)
@@ -76,7 +77,7 @@ def make_train_step(model: SimCSEModel, cfg: Config):
         emb2 = model.apply({"params": params}, v2["std"], v2["re_ids"],
                            v2["re_mask"], v2["txt_ids"], v2["txt_mask"],
                            deterministic=False, rngs={"dropout": kd2})
-        loss = bidirectional_infonce(emb1, emb2, sc.temperature)
+        loss = infonce(emb1, emb2, sc.temperature)
         return loss, (emb1, emb2)
 
     @jax.jit
