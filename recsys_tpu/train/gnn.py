@@ -70,13 +70,18 @@ def sample_bpr_batches(graph_u: np.ndarray, graph_i: np.ndarray, num_items: int,
 
 
 def make_gnn_step(model: LightGCL, graph: BipartiteGraph, cfg: GNNConfig):
-    src = jnp.asarray(graph.src)
-    dst = jnp.asarray(graph.dst)
-    w = jnp.asarray(graph.weight)
-    su, ss, sv = map(jnp.asarray, (graph.svd_u, graph.svd_s, graph.svd_v))
+    # Graph arrays are passed as jit ARGUMENTS (device-resident), never as
+    # closure constants — 22M-element literals embedded in the jaxpr make
+    # compilation pathological.
+    graph_args = (jax.device_put(jnp.asarray(graph.src)),
+                  jax.device_put(jnp.asarray(graph.dst)),
+                  jax.device_put(jnp.asarray(graph.weight)),
+                  jax.device_put(jnp.asarray(graph.svd_u)),
+                  jax.device_put(jnp.asarray(graph.svd_s)),
+                  jax.device_put(jnp.asarray(graph.svd_v)))
 
-    def loss_fn(params, users, pos, neg):
-        lu, li, gu, gi = model.apply({"params": params}, src, dst, w, su, ss, sv)
+    def loss_fn(params, g, users, pos, neg):
+        lu, li, gu, gi = model.apply({"params": params}, *g)
         l_bpr = bpr_loss(lu, li, users, pos, neg)
         l_ssl = (ssl_loss(lu, gu, users, cfg.temperature, cfg.logit_clamp)
                  + ssl_loss(li, gi, pos, cfg.temperature, cfg.logit_clamp))
@@ -85,12 +90,15 @@ def make_gnn_step(model: LightGCL, graph: BipartiteGraph, cfg: GNNConfig):
         return total, {"bpr": l_bpr, "ssl": l_ssl, "reg": l_reg}
 
     @jax.jit
-    def step(state: TrainState, users, pos, neg):
+    def _step(state: TrainState, g, users, pos, neg):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, users, pos, neg)
+            state.params, g, users, pos, neg)
         new_state = state.apply_gradients(grads)
         aux["loss"] = loss
         return new_state, aux
+
+    def step(state, users, pos, neg):
+        return _step(state, graph_args, users, pos, neg)
 
     return step
 
