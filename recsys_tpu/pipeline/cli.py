@@ -309,6 +309,11 @@ def cmd_serve(cfg: Config, args) -> dict:
             pass
         vec = model_vectorizer(cfg, params)
     ctx = build_app_context(cfg, vec)
+    # store-backed training triggers (the /train/* endpoints)
+    from recsys_tpu.serve.train_glue import make_item_trainer, make_user_trainer
+    p = _paths(cfg)
+    ctx.train_item_fn = make_item_trainer(cfg, ctx.store, _mesh(cfg), p["item_ckpts"])
+    ctx.train_user_fn = make_user_trainer(cfg, ctx.store, _mesh(cfg), p["user_ckpts"])
     server = make_server(ctx, port=getattr(args, "port", None))
     print(f"serving on {server.server_address}")
     server.serve_forever()
