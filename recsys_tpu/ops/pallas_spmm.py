@@ -1,0 +1,236 @@
+"""Block-sparse SpMM on the MXU — the graph-propagation kernel.
+
+XLA's scatter-add makes ``segment_sum`` propagation latency-bound on TPU
+(~520 ms per pass over a 22.6M-edge graph; scatter ~385 ms of it). This
+kernel reformulates A_norm @ x as a sweep of MXU matmuls over node blocks:
+
+  * edges are sorted by (dst_block, src_block) and cut into fixed chunks of
+    ``chunk_e`` edges that never cross a block pair (boundary runs padded
+    with zero-weight dummy edges);
+  * per chunk, the kernel builds one-hot matrices from the local src/dst
+    ids via iota-compare (never materialized in HBM) and computes
+      msgs     = OneHot(src_local) @ x_slab          (MXU)
+      out_slab += OneHot(dst_local)^T @ (w * msgs)   (MXU)
+    with the x slab auto-DMA'd per chunk via a scalar-prefetch index map
+    and the out slab accumulated in VMEM across the consecutive chunks of
+    one dst block (pallas revisiting);
+  * both gather AND scatter become dense matmuls: cost is FLOPs on the
+    MXU, not random HBM access.
+
+For the symmetric normalized adjacency LightGCL uses (A^T = A: both edge
+directions present with equal weights) the backward pass is the SAME
+kernel, wired as a custom VJP.
+
+The chunk arrays are jit ARGUMENTS (a ``device_arrays()`` pytree), never
+closure constants — embedding tens of MB of literals in the jaxpr breaks
+compilation (and the remote-compile transport).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+@dataclass(frozen=True)
+class SpmmMeta:
+    """Static (hashable) kernel geometry."""
+
+    num_nodes: int            # padded to a block_n multiple
+    orig_nodes: int
+    block_n: int
+    chunk_e: int
+    num_chunks: int
+
+
+class BlockedGraph:
+    """Chunked block-pair edge layout for the SpMM kernel (symmetric A)."""
+
+    def __init__(self, meta: SpmmMeta, src_block, dst_block, src_local,
+                 dst_local, weight):
+        self.meta = meta
+        self.src_block = src_block    # (C,) int32
+        self.dst_block = dst_block    # (C,) int32
+        self.src_local = src_local    # (C, chunk_e) int32
+        self.dst_local = dst_local    # (C, chunk_e) int32
+        self.weight = weight          # (C, chunk_e) float32, 0 on padding
+
+    def device_arrays(self) -> dict:
+        return {
+            "sb": jnp.asarray(self.src_block), "db": jnp.asarray(self.dst_block),
+            "sl": jnp.asarray(self.src_local), "dl": jnp.asarray(self.dst_local),
+            "w": jnp.asarray(self.weight),
+        }
+
+
+def block_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
+                num_nodes: int, block_n: int = 1024,
+                chunk_e: int = 1024) -> BlockedGraph:
+    assert chunk_e % 128 == 0 and chunk_e // 128 >= 8, \
+        "chunk_e must be a multiple of 128 with >=8 sublanes (TPU tiling)"
+    """Vectorized host-side chunking. ``weight==0`` edges (upstream
+    fixed-shape padding) are dropped first."""
+    keep = weight > 0
+    src = src[keep].astype(np.int64)
+    dst = dst[keep].astype(np.int64)
+    weight = weight[keep].astype(np.float32)
+    n_pad = ((num_nodes + block_n - 1) // block_n) * block_n
+    n_blocks = n_pad // block_n
+
+    sb = src // block_n
+    db = dst // block_n
+    order = np.lexsort((sb, db))
+    src, dst, weight, sb, db = (a[order] for a in (src, dst, weight, sb, db))
+
+    key = db * n_blocks + sb
+    new_run = np.empty(len(key), bool)
+    new_run[0] = True
+    np.not_equal(key[1:], key[:-1], out=new_run[1:])
+    run_id = np.cumsum(new_run) - 1
+    run_starts = np.flatnonzero(new_run)
+    run_lens = np.diff(np.append(run_starts, len(key)))
+    run_chunks = (run_lens + chunk_e - 1) // chunk_e
+    chunk_base = np.concatenate([[0], np.cumsum(run_chunks)])
+    C = int(chunk_base[-1])
+
+    off = np.arange(len(key)) - run_starts[run_id]
+    chunk_of_edge = chunk_base[run_id] + off // chunk_e
+    pos_in_chunk = off % chunk_e
+
+    src_local = np.zeros((C, chunk_e), np.int32)
+    dst_local = np.zeros((C, chunk_e), np.int32)
+    w = np.zeros((C, chunk_e), np.float32)
+    flat = chunk_of_edge * chunk_e + pos_in_chunk
+    src_local.reshape(-1)[flat] = (src % block_n).astype(np.int32)
+    dst_local.reshape(-1)[flat] = (dst % block_n).astype(np.int32)
+    w.reshape(-1)[flat] = weight
+    sub = chunk_e // 128
+    src_local = src_local.reshape(C, sub, 128)
+    dst_local = dst_local.reshape(C, sub, 128)
+    w = w.reshape(C, sub, 128)
+
+    chunk_sb = np.zeros(C, np.int32)
+    chunk_db = np.zeros(C, np.int32)
+    run_of_chunk = np.repeat(np.arange(len(run_lens)), run_chunks)
+    chunk_sb[:] = sb[run_starts][run_of_chunk]
+    chunk_db[:] = db[run_starts][run_of_chunk]
+
+    # every dst block needs >=1 chunk or its out slab is never initialized
+    missing = np.setdiff1d(np.arange(n_blocks), chunk_db)
+    if len(missing):
+        pad = len(missing)
+        chunk_sb = np.concatenate([chunk_sb, np.zeros(pad, np.int32)])
+        chunk_db = np.concatenate([chunk_db, missing.astype(np.int32)])
+        sub = chunk_e // 128
+        src_local = np.concatenate([src_local, np.zeros((pad, sub, 128), np.int32)])
+        dst_local = np.concatenate([dst_local, np.zeros((pad, sub, 128), np.int32)])
+        w = np.concatenate([w, np.zeros((pad, sub, 128), np.float32)])
+        order2 = np.lexsort((chunk_sb, chunk_db))
+        chunk_sb, chunk_db = chunk_sb[order2], chunk_db[order2]
+        src_local, dst_local, w = src_local[order2], dst_local[order2], w[order2]
+        C += pad
+
+    meta = SpmmMeta(n_pad, num_nodes, block_n, chunk_e, C)
+    return BlockedGraph(meta, chunk_sb, chunk_db, src_local, dst_local, w)
+
+
+def _spmm_kernel(sb_ref, db_ref, x_ref, sl_ref, dl_ref, w_ref, out_ref,
+                 *, block_n, chunk_e, acc_dtype):
+    c = pl.program_id(0)
+    prev_db = db_ref[jnp.maximum(c - 1, 0)]
+    is_new = (c == 0) | (prev_db != db_ref[c])
+
+    @pl.when(is_new)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    # chunk data arrives as (1, chunk_e/128, 128); process one 128-edge
+    # sub-chunk per unrolled iteration (TPU tiling forbids (1, chunk_e))
+    xb = x_ref[:].astype(acc_dtype)                            # (Bn, D)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (128, block_n), 1)
+    acc = jnp.zeros_like(out_ref)
+    for j in range(chunk_e // 128):
+        sl = sl_ref[0, j, :]                                   # (128,)
+        dl = dl_ref[0, j, :]
+        w = w_ref[0, j, :]
+        onehot_s = (sl[:, None] == lanes).astype(acc_dtype)    # (128, Bn)
+        msgs = jax.lax.dot_general(
+            onehot_s, xb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (128, D)
+        msgs = msgs * w[:, None]
+        onehot_d = (dl[:, None] == lanes).astype(acc_dtype)
+        acc = acc + jax.lax.dot_general(
+            onehot_d, msgs.astype(acc_dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (Bn, D)
+    out_ref[:] += acc
+
+
+def _spmm_call(meta: SpmmMeta, arrays: dict, x: jnp.ndarray,
+               precision: str) -> jnp.ndarray:
+    Bn, Ec, C, n = meta.block_n, meta.chunk_e, meta.num_chunks, meta.num_nodes
+    D = x.shape[1]
+    x_pad = x if x.shape[0] == n else jnp.pad(x, ((0, n - x.shape[0]), (0, 0)))
+    acc_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+
+    sub = Ec // 128
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(C,),
+        in_specs=[
+            pl.BlockSpec((Bn, D), lambda c, sb, db: (sb[c], 0)),
+            pl.BlockSpec((1, sub, 128), lambda c, sb, db: (c, 0, 0)),
+            pl.BlockSpec((1, sub, 128), lambda c, sb, db: (c, 0, 0)),
+            pl.BlockSpec((1, sub, 128), lambda c, sb, db: (c, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((Bn, D), lambda c, sb, db: (db[c], 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_spmm_kernel, block_n=Bn, chunk_e=Ec,
+                          acc_dtype=acc_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, D), jnp.float32),
+        interpret=_interpret(),
+    )(arrays["sb"], arrays["db"], x_pad.astype(jnp.float32),
+      arrays["sl"], arrays["dl"], arrays["w"])
+    return out[: x.shape[0]]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 3))
+def spmm(meta: SpmmMeta, arrays: dict, x: jnp.ndarray,
+         precision: str = "bf16") -> jnp.ndarray:
+    """A_norm @ x over the blocked symmetric graph.
+
+    ``arrays`` = ``BlockedGraph.device_arrays()`` (pass the SAME dict object
+    across calls so jit caches); ``precision``: 'bf16' (MXU-fast) or 'f32'
+    (exact, for parity tests)."""
+    return _spmm_call(meta, arrays, x, precision)
+
+
+def _zero_cotangent(a):
+    if jnp.issubdtype(a.dtype, jnp.floating):
+        return jnp.zeros_like(a)
+    return np.zeros(a.shape, jax.dtypes.float0)
+
+
+def _spmm_fwd(meta, arrays, x, precision):
+    return _spmm_call(meta, arrays, x, precision), arrays
+
+
+def _spmm_bwd(meta, precision, arrays, g):
+    # symmetric adjacency: d/dx (A x) applied to g is A^T g = A g
+    dx = _spmm_call(meta, arrays, g, precision)
+    return ({k: _zero_cotangent(v) for k, v in arrays.items()}, dx)
+
+
+spmm.defvjp(_spmm_fwd, _spmm_bwd)
