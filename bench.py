@@ -66,7 +66,9 @@ def main():
     graph, eu, ei = build_synthetic_graph(rng)
 
     cfg = GNNConfig()  # dim 64, 2 layers, batch 8192 — the reference config
-    model = LightGCL(graph.num_users, graph.num_items, cfg)
+    from recsys_tpu.train.gnn import select_propagation
+    prop_fn, prop_args = select_propagation(cfg, graph, graph.num_nodes)
+    model = LightGCL(graph.num_users, graph.num_items, cfg, prop_fn=prop_fn)
     params = {
         "user_emb": jnp.asarray(rng.normal(0, 0.1, (NUM_USERS, cfg.emb_dim)),
                                 jnp.float32),
@@ -74,7 +76,7 @@ def main():
                                 jnp.float32),
     }
     state = TrainState.create(params, optax.adam(cfg.lr))
-    step_fn = make_gnn_step(model, graph, cfg)
+    step_fn = make_gnn_step(model, graph, cfg, prop_args)
 
     # pre-generate batches (uniform negatives; rejection sampling is host-side
     # and off the measured path in real training too)
@@ -87,12 +89,13 @@ def main():
 
     for b in batches[:3]:  # warmup/compile
         state, aux = step_fn(state, *b)
-    jax.block_until_ready(state.params)
+        _ = float(aux["loss"])  # force materialization: on the remote-TPU
+        # tunnel block_until_ready returns before compute finishes
 
     t0 = time.perf_counter()
     for b in batches[3:]:
         state, aux = step_fn(state, *b)
-    jax.block_until_ready(state.params)
+        _ = float(aux["loss"])
     dt = time.perf_counter() - t0
 
     eps = MEASURE_STEPS * BATCH / dt

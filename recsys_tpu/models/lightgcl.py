@@ -31,9 +31,14 @@ from recsys_tpu.ops.graph import propagate, svd_propagate
 
 
 class LightGCL(nn.Module):
+    """``prop_fn(prop_args, x) -> A_norm @ x`` is the pluggable propagation
+    backend: gather+segment_sum (ops/graph.propagate) or the block-SpMM
+    Pallas kernel (ops/pallas_spmm.spmm) — selected in train/gnn.py."""
+
     num_users: int
     num_items: int
     cfg: GNNConfig = GNNConfig()
+    prop_fn: object = None  # static Callable[[Any, Array], Array]
 
     def setup(self):
         d = self.cfg.emb_dim
@@ -41,14 +46,16 @@ class LightGCL(nn.Module):
         self.user_emb = self.param("user_emb", init, (self.num_users, d))
         self.item_emb = self.param("item_emb", init, (self.num_items, d))
 
-    def __call__(self, src, dst, weight, svd_u, svd_s, svd_v):
+    def __call__(self, prop_args, svd_u, svd_s, svd_v):
         """Full-graph forward -> (local_u, local_i, global_u, global_i)."""
         n = self.num_users + self.num_items
+        prop = self.prop_fn or (
+            lambda args, x: propagate(x, args[0], args[1], args[2], n))
         x0 = jnp.concatenate([self.user_emb, self.item_emb]).astype(jnp.float32)
         local_sum, global_sum = x0, x0
         x_loc, x_glb = x0, x0
         for _ in range(self.cfg.num_layers):
-            x_loc = propagate(x_loc, src, dst, weight, n)
+            x_loc = prop(prop_args, x_loc)
             x_glb = svd_propagate(x_glb, svd_u, svd_s, svd_v)
             local_sum = local_sum + x_loc
             global_sum = global_sum + x_glb

@@ -69,13 +69,39 @@ def sample_bpr_batches(graph_u: np.ndarray, graph_i: np.ndarray, num_items: int,
         yield users.astype(np.int32), pos.astype(np.int32), neg.astype(np.int32)
 
 
-def make_gnn_step(model: LightGCL, graph: BipartiteGraph, cfg: GNNConfig):
+def select_propagation(cfg: GNNConfig, graph: BipartiteGraph, num_nodes: int):
+    """Pick the propagation backend + its device-resident args.
+
+    'auto' -> the block-SpMM Pallas kernel on accelerators (scatter-free,
+    ~3.5x the XLA segment_sum path at 22.6M edges), plain segment_sum on
+    the CPU test mesh."""
+    from recsys_tpu.ops import use_pallas
+
+    mode = cfg.propagation
+    if mode == "auto":
+        mode = "spmm" if use_pallas("auto") else "segment_sum"
+    if mode == "spmm":
+        from recsys_tpu.ops.pallas_spmm import block_graph, spmm
+
+        blocked = block_graph(graph.src, graph.dst, graph.weight, num_nodes,
+                              block_n=cfg.spmm_block_n, chunk_e=cfg.spmm_chunk_e)
+        arrays = {k: jax.device_put(v) for k, v in blocked.device_arrays().items()}
+        meta = blocked.meta
+        return (lambda args, x: spmm(meta, args, x, "bf16")), arrays
+    args = (jax.device_put(jnp.asarray(graph.src)),
+            jax.device_put(jnp.asarray(graph.dst)),
+            jax.device_put(jnp.asarray(graph.weight)))
+    from recsys_tpu.ops.graph import propagate as _propagate
+
+    return (lambda a, x: _propagate(x, a[0], a[1], a[2], num_nodes)), args
+
+
+def make_gnn_step(model: LightGCL, graph: BipartiteGraph, cfg: GNNConfig,
+                  prop_args=None):
     # Graph arrays are passed as jit ARGUMENTS (device-resident), never as
     # closure constants — 22M-element literals embedded in the jaxpr make
     # compilation pathological.
-    graph_args = (jax.device_put(jnp.asarray(graph.src)),
-                  jax.device_put(jnp.asarray(graph.dst)),
-                  jax.device_put(jnp.asarray(graph.weight)),
+    graph_args = (prop_args,
                   jax.device_put(jnp.asarray(graph.svd_u)),
                   jax.device_put(jnp.asarray(graph.svd_s)),
                   jax.device_put(jnp.asarray(graph.svd_v)))
@@ -109,11 +135,11 @@ def train_lightgcl(cfg: Config, graph: BipartiteGraph, edges_u: np.ndarray,
                    writer: MetricWriter | None = None):
     """Train (or resume / cosine-fine-tune) LightGCL over the whole edge set."""
     g = cfg.gnn
-    model = LightGCL(graph.num_users, graph.num_items, g)
-    params = model.init(jax.random.PRNGKey(cfg.data.seed),
-                        jnp.asarray(graph.src[:2]), jnp.asarray(graph.dst[:2]),
-                        jnp.asarray(graph.weight[:2]), jnp.asarray(graph.svd_u),
-                        jnp.asarray(graph.svd_s), jnp.asarray(graph.svd_v))["params"]
+    prop_fn, prop_args = select_propagation(g, graph, graph.num_nodes)
+    model = LightGCL(graph.num_users, graph.num_items, g, prop_fn=prop_fn)
+    params = model.init(jax.random.PRNGKey(cfg.data.seed), prop_args,
+                        jnp.asarray(graph.svd_u), jnp.asarray(graph.svd_s),
+                        jnp.asarray(graph.svd_v))["params"]
     steps_per_epoch = max(len(edges_u) // g.batch_size, 1)
     if fine_tune:
         sched = optax.cosine_decay_schedule(g.lr * 0.4, steps_per_epoch * g.epochs,
@@ -133,7 +159,7 @@ def train_lightgcl(cfg: Config, graph: BipartiteGraph, edges_u: np.ndarray,
                 state, start_epoch = prev, entry["extra"].get("epoch", 0) + 1
             else:  # fine-tune: fresh optimizer, previous params
                 state = TrainState.create(prev.params, tx)
-    step_fn = make_gnn_step(model, graph, g)
+    step_fn = make_gnn_step(model, graph, g, prop_args)
     writer = writer or MetricWriter(f"{workdir}/metrics.jsonl", "lightgcl")
     rng = np.random.default_rng(cfg.data.seed)
 
