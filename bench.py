@@ -87,15 +87,18 @@ def main():
                         jnp.asarray(ei[idx], jnp.int32),
                         jnp.asarray(rng.integers(0, NUM_ITEMS, BATCH), jnp.int32)))
 
+    # Timing notes for the remote-TPU tunnel: block_until_ready returns
+    # before compute finishes, and a host materialization costs a full
+    # ~85ms RTT. Steps chain through `state`, so the honest measurement is
+    # one final materialization that transitively waits for every step.
     for b in batches[:3]:  # warmup/compile
         state, aux = step_fn(state, *b)
-        _ = float(aux["loss"])  # force materialization: on the remote-TPU
-        # tunnel block_until_ready returns before compute finishes
+    _ = float(aux["loss"])
 
     t0 = time.perf_counter()
     for b in batches[3:]:
         state, aux = step_fn(state, *b)
-        _ = float(aux["loss"])
+    _ = float(aux["loss"])
     dt = time.perf_counter() - t0
 
     eps = MEASURE_STEPS * BATCH / dt

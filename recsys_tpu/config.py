@@ -121,6 +121,7 @@ class UserTrainConfig:
     plateau_factor: float = 0.5    # ReduceLROnPlateau on Recall@100
     plateau_patience: int = 2
     kernel: str = "auto"           # contrastive kernel: auto | pallas | xla
+    random_cut_prob: float = 0.2   # hybrid-tower sequence augmentation
 
 
 @dataclass(frozen=True)

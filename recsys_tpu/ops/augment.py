@@ -62,3 +62,33 @@ def corrupt_view(batch: dict, key: jax.Array, dropout_prob: float) -> dict:
 def two_views(batch: dict, key: jax.Array, dropout_prob: float) -> tuple[dict, dict]:
     k1, k2 = jax.random.split(key)
     return corrupt_view(batch, k1, dropout_prob), corrupt_view(batch, k2, dropout_prob)
+
+
+def random_cut(batch: dict, key: jax.Array, prob: float = 0.2) -> dict:
+    """Random-cut sequence augmentation (reference `mined_inference.py:153-163`):
+    with probability ``prob`` per user, truncate the history at a uniformly
+    chosen valid position and re-align so the cut point sits at the last
+    slot (the left-padding invariant every consumer relies on).
+
+    Operates on SASRec batches: input_ids/target_ids/time_buckets/seq_mask
+    all (B, L). Pure on-device array ops; rows keep >= 1 real position."""
+    k_gate, k_pos = jax.random.split(key)
+    mask = batch["seq_mask"]
+    B, L = mask.shape
+    gate = jax.random.bernoulli(k_gate, prob, (B,))
+    # uniformly pick a valid cut position per row (gumbel-max over the mask)
+    gumbel = jax.random.gumbel(k_pos, (B, L))
+    cut = jnp.argmax(jnp.where(mask > 0, gumbel, -jnp.inf), axis=-1)  # (B,)
+    cut = jnp.where(gate, cut, L - 1)
+    shift = (L - 1) - cut                                    # right-shift amount
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    src_col = cols - shift[:, None]                          # column to read from
+    inside = src_col >= 0
+    src_safe = jnp.clip(src_col, 0, L - 1)
+
+    out = dict(batch)
+    for k in ("input_ids", "target_ids", "time_buckets", "seq_mask"):
+        rolled = jnp.take_along_axis(batch[k], src_safe, axis=1)
+        out[k] = jnp.where(inside, rolled, 0)
+    # positions after the cut are gone by construction (they shifted past L-1)
+    return out

@@ -24,6 +24,10 @@ Layout: grid over row blocks of 128; the full key matrix (B, D) plus the
 Both the SimCSE bidirectional InfoNCE and the LogQ sampled-softmax losses
 are thin wrappers; parity with the XLA reference forms (ops/contrastive.py)
 is asserted in tests to 1e-5.
+
+Measured on TPU v5e (fwd+bwd per step, 200-step differential timing, the
+remote-tunnel RTT amortized): B=768: 0.006 vs 0.060 ms (10x);
+B=4096: 0.20 vs 1.08 ms (5.5x); B=8192: 0.74 vs 6.28 ms (8.5x).
 """
 
 from __future__ import annotations

@@ -24,6 +24,7 @@ from recsys_tpu.eval.ensemble import alpha_sweep
 from recsys_tpu.eval.recall import recall_at_ks, topk_scores
 from recsys_tpu.models.hybrid_tower import HybridUserTower
 from recsys_tpu.models.layers import l2_normalize
+from recsys_tpu.ops.augment import random_cut
 from recsys_tpu.ops.contrastive import corrected_logq_with_recovery
 from recsys_tpu.parallel.mesh import data_sharding, replicated
 from recsys_tpu.train.checkpoint import CheckpointStore, align_rows
@@ -65,6 +66,9 @@ def make_hybrid_step(cfg: Config, model: HybridUserTower, content: np.ndarray,
                            rngs=rngs)
 
     def loss_fn(params, batch, gnn_user, key):
+        k_cut, key = jax.random.split(key)
+        if ut.random_cut_prob > 0:
+            batch = random_cut(batch, k_cut, ut.random_cut_prob)
         u = forward(params, batch, gnn_user, key, deterministic=False)
         tgt_ids = batch["target_ids"][:, -1]
         cv = jnp.take(content_c, tgt_ids, axis=0)

@@ -150,3 +150,32 @@ def test_simcse_training_learns_and_retrieves(item_tensors, mesh, tmp_path):
     from recsys_tpu.train.checkpoint import load_array_with_ids
     arr, ids, meta = load_array_with_ids(str(tmp_path / "item_matrix"))
     assert ids[0] == "<pad>" and len(ids) == 65
+
+
+def test_random_cut_augmentation():
+    """Random-cut keeps the left-padding invariant: the chosen position
+    becomes the last slot; everything after it is dropped."""
+    import jax
+    from recsys_tpu.ops.augment import random_cut
+
+    B, L = 6, 8
+    inp = np.tile(np.arange(1, L + 1, dtype=np.int32), (B, 1))
+    mask = np.ones((B, L), np.int32)
+    mask[:, :3] = 0  # left padding: first real position = 3 (value 4)
+    inp = inp * mask
+    batch = {"input_ids": jnp.asarray(inp), "target_ids": jnp.asarray(inp + 100) * mask,
+             "time_buckets": jnp.asarray(mask * 2), "seq_mask": jnp.asarray(mask)}
+    out = random_cut(batch, jax.random.PRNGKey(3), prob=1.0)
+    o_inp = np.asarray(out["input_ids"])
+    o_mask = np.asarray(out["seq_mask"])
+    for r in range(B):
+        assert o_mask[r, -1] == 1                      # last slot always real
+        k = int(o_mask[r].sum())
+        assert 1 <= k <= 5                             # at most original length
+        # left-padded: zeros then ones
+        np.testing.assert_array_equal(o_mask[r], [0] * (L - k) + [1] * k)
+        # content is a prefix of the original real sequence, shifted right
+        np.testing.assert_array_equal(o_inp[r, L - k:], inp[r, 3:3 + k])
+    # prob=0 is identity
+    same = random_cut(batch, jax.random.PRNGKey(0), prob=0.0)
+    np.testing.assert_array_equal(np.asarray(same["input_ids"]), inp)
