@@ -44,6 +44,16 @@ def build_rank_features(user_vecs: np.ndarray, item_vecs: np.ndarray,
     return feats
 
 
+def cross_features(user_meta: np.ndarray, item_meta: np.ndarray,
+                   user_activity: np.ndarray, item_velocity: np.ndarray) -> np.ndarray:
+    """Explicit cross features for the reranker (reference
+    `utils/data_preprocessing/feature_processor.py:26-195`): price gap and
+    velocity x activity interaction. (B, 2) block appended to the base."""
+    price_gap = item_meta[:, 1:2] - user_meta[:, 0:1]
+    vel_act = (item_velocity * user_activity)[:, None]
+    return np.concatenate([price_gap, vel_act], axis=1).astype(np.float32)
+
+
 def context_vector(hour: np.ndarray, weekday: np.ndarray, view_count: np.ndarray,
                    click_count: np.ndarray, recency_days: np.ndarray,
                    device: np.ndarray) -> np.ndarray:

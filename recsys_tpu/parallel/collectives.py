@@ -59,6 +59,36 @@ def sharded_topk(scores_local: jnp.ndarray, k: int, axis_name: str):
     return top_vals, top_idx
 
 
+def rowsharded_lookup_a2a(table_local: jnp.ndarray, ids_local: jnp.ndarray,
+                          axis_name: str) -> jnp.ndarray:
+    """All-to-all row-sharded lookup for LARGE tables / sharded id batches.
+
+    Unlike ``rowsharded_lookup`` (replicated ids, psum merge — one
+    collective, O(B*D) traffic per shard), this is the classic DLRM-style
+    exchange for when the id batch itself is sharded over the axis:
+    every shard receives the full id list (all_gather, O(B) ints), answers
+    for its own rows, and an all_to_all returns each shard exactly its own
+    slice's embeddings — per-shard traffic O(B*D / S) instead of O(B*D).
+
+    ``ids_local``: (B_local,) this shard's slice of the global id batch.
+    Returns (B_local, D) embeddings for ``ids_local``.
+    """
+    S = jax.lax.axis_size(axis_name)
+    n_local = table_local.shape[0]
+    offset = local_index_offset(axis_name, n_local)
+    # (S, B_local): every shard's ids, replicated here
+    all_ids = jax.lax.all_gather(ids_local, axis_name)
+    local = all_ids - offset
+    mine = (local >= 0) & (local < n_local)
+    rows = jnp.take(table_local, jnp.clip(local, 0, n_local - 1), axis=0)
+    rows = jnp.where(mine[..., None], rows, 0.0)        # (S, B_local, D)
+    # all_to_all: slot s of my answer goes to shard s; I receive every
+    # shard's answer for MY ids -> sum over contributors
+    exchanged = jax.lax.all_to_all(rows, axis_name, split_axis=0, concat_axis=0,
+                                   tiled=False)
+    return jnp.sum(exchanged, axis=0)
+
+
 def rowsharded_lookup(table_local: jnp.ndarray, ids: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     """Gather rows of a row-sharded (V_local, D) table for replicated ``ids``.
 

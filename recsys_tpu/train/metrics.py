@@ -40,6 +40,39 @@ class MetricWriter:
         self._f.close()
 
 
+class SmartLogger:
+    """Verbosity-leveled print logger (reference ``SmartLogger``,
+    `mined_inference.py:47-52`): level 0 silent, 1 milestones, 2 chatty."""
+
+    def __init__(self, level: int = 1):
+        self.level = level
+
+    def log(self, msg: str, level: int = 1) -> None:
+        if level <= self.level:
+            print(msg, flush=True)
+
+
+def maybe_wandb_writer(project: str, run: str, config=None):
+    """Optional wandb sink: returns a callable(step, **metrics) that logs to
+    wandb when the package is importable, else a no-op (the image has no
+    wandb; MetricWriter JSONL is the primary sink either way)."""
+    try:
+        import wandb  # noqa: PLC0415
+    except ImportError:
+        return lambda step, **metrics: None
+    wandb.init(project=project, name=run, config=config or {})
+    return lambda step, **metrics: wandb.log(metrics, step=step)
+
+
+def profile_trace(out_dir: str):
+    """jax.profiler trace context — the tracing subsystem (SURVEY.md §5
+    'Tracing/profiling'). Usage: ``with profile_trace('artifacts/trace'): ...``;
+    view with tensorboard or xprof."""
+    import jax
+
+    return jax.profiler.trace(out_dir)
+
+
 def alignment(emb_a: jnp.ndarray, emb_b: jnp.ndarray) -> jnp.ndarray:
     """Mean squared distance between positive pairs — lower is better
     (reference `item_tower.py:612-616`). Inputs are L2-normalized (B, D)."""

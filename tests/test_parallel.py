@@ -128,3 +128,18 @@ def test_metrics_alignment_uniformity():
     same = jnp.ones((4, 8)) / jnp.sqrt(8.0)
     assert float(uniformity(same)) == pytest.approx(0.0, abs=1e-5)
     assert float(uniformity(e)) < -1.0
+
+
+def test_rowsharded_lookup_a2a(mesh8):
+    from recsys_tpu.parallel.collectives import rowsharded_lookup_a2a
+
+    V, D, B = 32, 8, 8  # model axis = 2 shards of 16 rows; ids sharded too
+    table = jnp.arange(V * D, dtype=jnp.float32).reshape(V, D)
+    ids = jnp.array([0, 5, 17, 31, 2, 16, 9, 30])
+
+    f = smap(
+        lambda t, i: rowsharded_lookup_a2a(t, i, "model"),
+        mesh8, (P("model", None), P("model",)), out_specs=P("model", None),
+    )
+    out = f(table, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(table[ids]))
