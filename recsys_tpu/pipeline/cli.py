@@ -250,11 +250,10 @@ def cmd_train_reranker(cfg: Config, args) -> dict:
 def cmd_eval(cfg: Config, args) -> dict:
     from recsys_tpu.train.checkpoint import CheckpointStore, load_array_with_ids, align_rows
     from recsys_tpu.train.sasrec import (
-        evaluate_stage2, init_stage2_params, make_stage2_step, prepare_stage2,
-        train_user_tower, _slice)
+        evaluate_stage2, init_stage2_params, make_stage2_optimizer,
+        make_stage2_step, prepare_stage2, _slice)
     from recsys_tpu.train.state import TrainState
     import jax
-    import optax
     p = _paths(cfg)
     items, users, tx = _load_world(cfg)
     data = prepare_stage2(cfg, items, users, tx)
@@ -266,14 +265,14 @@ def cmd_eval(cfg: Config, args) -> dict:
     sample = _slice(data["tensors"], np.arange(min(bs, n)))
     params, models = init_stage2_params(cfg, len(data["item_map"]) + 1,
                                         pretrained, jax.random.PRNGKey(0), sample)
-    state = TrainState.create(params, optax.sgd(0.0))
     store = CheckpointStore(p["user_ckpts"], maximize=True)
     try:
-        tmpl = TrainState.create(params, make_tx := _eval_tx(cfg, params, n, bs))
-        restored, entry = store.restore_best(tmpl)
+        tmpl = TrainState.create(params, make_stage2_optimizer(
+            cfg, params, max(n // bs, 1)))
+        restored, _entry = store.restore_best(tmpl)
         params = restored.params
     except FileNotFoundError:
-        pass
+        pass  # random-init fallback, reference behavior
     _, uv_fn = make_stage2_step(cfg, models, data["side"], data["logq"])
     metrics = evaluate_stage2(cfg, params, uv_fn, data, _mesh(cfg), bs)
     with open(p["eval"], "w") as f:
@@ -281,9 +280,66 @@ def cmd_eval(cfg: Config, args) -> dict:
     return metrics
 
 
-def _eval_tx(cfg, params, n, bs):
-    from recsys_tpu.train.sasrec import make_stage2_optimizer
-    return make_stage2_optimizer(cfg, params, max(n // bs, 1))
+def cmd_train_hybrid(cfg: Config, args) -> dict:
+    """Hybrid content+GNN tower over the exported artifacts, then the full
+    ensemble report (sequence vs distilled-GNN retrieval: standalone +
+    count-mix / weighted / RRF alpha sweeps)."""
+    import jax
+    from recsys_tpu.train.checkpoint import load_array_with_ids, align_rows
+    from recsys_tpu.train import hybrid as H
+    from recsys_tpu.train.sasrec import prepare_stage2, _slice
+    p = _paths(cfg)
+    items, users, tx = _load_world(cfg)
+    data = prepare_stage2(cfg, items, users, tx)
+    mat, ids, _ = load_array_with_ids(p["item_matrix"])
+    aligned, _ = align_rows(mat[1:], ids[1:], data["item_map"].ids, fill="random")
+    content = np.concatenate([np.zeros((1, mat.shape[1]), np.float32), aligned])
+    gi, gi_ids, _ = load_array_with_ids(p["gnn_prefix"] + "_items")
+    gnn_items = H.align_gnn_to_catalog(gi, gi_ids, data["item_map"])
+    gu, gu_ids, _ = load_array_with_ids(p["gnn_prefix"] + "_users")
+    uids = data["tensors"]["user_ids"]
+    gnn_users = H.align_gnn_users(gu, gu_ids, uids)
+    mesh = _mesh(cfg)
+    state, history, (model, uv_fn, im_fn) = H.train_hybrid(
+        cfg, data, content, gnn_items, gnn_users, mesh, p["root"] + "/ckpt_hybrid")
+
+    # ensemble report: hybrid retrieval vs distilled-GNN retrieval
+    import jax.numpy as jnp
+    tensors = data["tensors"]
+    n = tensors["input_ids"].shape[0]
+    bs = min(cfg.user_train.batch_size, max(n - n % 8, 8))
+    uvecs = []
+    for s in range(0, n - n % bs, bs):
+        idx = np.arange(s, s + bs)
+        batch = {k: jnp.asarray(v[idx]) for k, v in tensors.items() if k != "user_ids"}
+        uvecs.append(np.asarray(uv_fn(state.params, batch,
+                                      jnp.asarray(gnn_users[idx]))))
+    uvecs = np.concatenate(uvecs) if uvecs else np.zeros((0, 128), np.float32)
+    user_ids = uids[: len(uvecs)]
+    m = min(1000, len(data["item_map"]))
+    seq_model = H.topm_for_model(uvecs, np.asarray(im_fn(state.params)), m,
+                                 normalize_items=False)
+    # GNN side: distilled (cosine) vectors if available, raw otherwise
+    try:
+        gd, gd_ids, _ = load_array_with_ids(p["distilled"])
+        gnn_mat = H.align_gnn_to_catalog(gd, gd_ids, data["item_map"])
+    except FileNotFoundError:
+        gnn_mat = gnn_items
+    gu_aligned = H.align_gnn_users(gu, gu_ids, user_ids)
+    # score users against the GNN item space via their GNN embedding
+    if gu_aligned.shape[1] != gnn_mat.shape[1]:
+        gnn_model = seq_model  # degenerate fallback: dims mismatch
+    else:
+        gnn_model = H.topm_for_model(gu_aligned, gnn_mat, m, normalize_items=False)
+    report = H.ensemble_report(seq_model, gnn_model, user_ids,
+                               data["targets_idx"], ks=cfg.user_train.eval_ks)
+    out = {"hybrid_final": history[-1] if history else {},
+           "ensemble": {k: (v if k.startswith("standalone") else
+                            {"best_alpha": v["best_alpha"], "best": v["best"]})
+                        for k, v in report.items()}}
+    with open(p["root"] + "/ensemble_report.json", "w") as f:
+        json.dump(report, f, indent=1, default=str)
+    return out
 
 
 def cmd_serve(cfg: Config, args) -> dict:
@@ -370,6 +426,7 @@ COMMANDS = {
     "train-gnn": cmd_train_gnn,
     "distill": cmd_distill,
     "train-reranker": cmd_train_reranker,
+    "train-hybrid": cmd_train_hybrid,
     "eval": cmd_eval,
     "serve": cmd_serve,
     "orchestrate": cmd_orchestrate,

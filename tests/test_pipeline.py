@@ -62,6 +62,10 @@ def test_full_pipeline_stages(workdir):
     r = _run(workdir, "distill")
     assert r["shape"][1] == 16
 
+    r = _run(workdir, "train-hybrid")
+    assert "recall@20" in r["hybrid_final"]
+    assert "rrf" in r["ensemble"] and "count_mix" in r["ensemble"]
+
     r = _run(workdir, "train-reranker")
     assert 0.0 <= r["gbdt_auc"] <= 1.0 and 0.0 <= r["dcn_auc"] <= 1.0
 
