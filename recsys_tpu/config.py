@@ -166,8 +166,8 @@ class RerankerConfig:
     deep_hidden: Sequence[int] = (128, 64)
     fm_embed_dim: int = 16
     dropout: float = 0.1
-    lr: float = 1e-3
-    epochs: int = 5
+    lr: float = 3e-3
+    epochs: int = 30
     batch_size: int = 2048
     neg_per_pos: int = 5           # 1:5 negative sampling (`utils/monitor/log_importer.py`)
 

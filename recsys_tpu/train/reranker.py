@@ -114,16 +114,25 @@ def _train_neural(model, params, X_parts, y, cfg: Config, apply_fn):
 
 
 def train_dcn(cfg: Config, X: np.ndarray, y: np.ndarray):
+    # standardize on train stats — CrossNet is ill-conditioned on raw
+    # mixed-scale features (dot products next to log prices)
+    mu = X.mean(axis=0, keepdims=True)
+    sd = X.std(axis=0, keepdims=True) + 1e-6
+    Xs = ((X - mu) / sd).astype(np.float32)
     model = DCNRanker(cfg.reranker)
-    params = model.init(jax.random.PRNGKey(0), jnp.asarray(X[:2]))["params"]
-    state = _train_neural(model, params, (X,), y, cfg,
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(Xs[:2]))["params"]
+    state = _train_neural(model, params, (Xs,), y, cfg,
                           lambda p, b: model.apply({"params": p}, b[0]))
 
     @jax.jit
     def predict(params, X):
         return jax.nn.sigmoid(model.apply({"params": params}, X))
 
-    return state, model, lambda Xq: np.asarray(predict(state.params, jnp.asarray(Xq)))
+    def scorer(Xq):
+        Xq = ((np.asarray(Xq) - mu) / sd).astype(np.float32)
+        return np.asarray(predict(state.params, jnp.asarray(Xq)))
+
+    return state, model, scorer
 
 
 def train_deepfm(cfg: Config, ids: np.ndarray, dense: np.ndarray | None,

@@ -88,3 +88,15 @@ def test_kernel_dispatch():
     assert select_infonce("auto") is C.bidirectional_infonce
     assert select_infonce("pallas") is fused_bidirectional_infonce
     assert select_logq_loss("xla") is C.inbatch_logq_loss
+
+
+def test_fused_fm_parity():
+    from recsys_tpu.ops.fm import fm_interaction
+    from recsys_tpu.ops.pallas_fm import fused_fm_interaction
+
+    rng = np.random.default_rng(5)
+    v = jnp.asarray(rng.normal(size=(200, 12, 16)).astype(np.float32))
+    ref = fm_interaction(v)
+    got = fused_fm_interaction(v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-3)

@@ -13,7 +13,7 @@ from recsys_tpu.data.ranker_features import (
 from recsys_tpu.ops.fm import fm_interaction, fm_interaction_vector
 from recsys_tpu.train import reranker as R
 
-CFG = Config(reranker=RerankerConfig(epochs=30, batch_size=256, deep_hidden=(32, 16)))
+CFG = Config(reranker=RerankerConfig(epochs=60, batch_size=256, deep_hidden=(32, 16)))
 
 
 def test_fm_identity_matches_explicit_pairs():
