@@ -69,33 +69,53 @@ def tokenize_items(items: pd.DataFrame, vocab: StdVocab, cfg: VocabConfig) -> di
     n = len(items)
     F = vocab.num_fields
     T, Tn = cfg.max_field_tokens, cfg.max_name_tokens
+    records = items.to_dict("records")
     std = np.zeros((n, F), dtype=np.int32)
-    re_ids = np.zeros((n, len(RE_FEATURE_KEYS), T), dtype=np.int32)
-    re_mask = np.zeros_like(re_ids)
-    re_value = np.zeros_like(re_ids)
-    txt_ids = np.zeros((n, Tn), dtype=np.int32)
-    txt_mask = np.zeros((n, Tn), dtype=np.int32)
-
-    for r, row in enumerate(items.to_dict("records")):
+    for r, row in enumerate(records):
         std[r] = vocab.encode_item(row)
+
+    def _re_values(row):
         re_feat = row.get("reinforced_feature")
         if re_feat is None or (hasattr(re_feat, "__len__") and len(re_feat) == 0):
             re_feat = {}
-        for f, key in enumerate(RE_FEATURE_KEYS):
+        out = []
+        for key in RE_FEATURE_KEYS:
             values = re_feat.get(key)  # may be list OR numpy array (parquet)
-            if values is None:
-                values = []
-            pos = 0
-            for v_i, value in enumerate(values):
-                for w in tok.normalize(str(value)):
-                    if pos >= T:
-                        break
-                    re_ids[r, f, pos] = tok.token_id(w, cfg.text_vocab_size)
-                    re_mask[r, f, pos] = 1
-                    re_value[r, f, pos] = v_i + 1
-                    pos += 1
-        name = tagged_name(row)
-        txt_ids[r], txt_mask[r] = tok.encode(name, Tn, cfg.text_vocab_size)
+            out.append([] if values is None else [str(v) for v in values])
+        return out
+
+    from recsys_tpu.data import native_pack
+    if native_pack.native_available():
+        # native C++ batch packer (bit-identical ids, ~14x the Python loop)
+        names = [tagged_name(row) for row in records]
+        txt_ids, txt_mask = native_pack.encode_batch(names, Tn, cfg.text_vocab_size)
+        cells: list[list[str]] = []
+        for row in records:
+            cells.extend(_re_values(row))
+        flat_ids, flat_mask, flat_val = native_pack.encode_fields(
+            cells, T, cfg.text_vocab_size)
+        re_ids = flat_ids.reshape(n, len(RE_FEATURE_KEYS), T)
+        re_mask = flat_mask.reshape(n, len(RE_FEATURE_KEYS), T)
+        re_value = flat_val.reshape(n, len(RE_FEATURE_KEYS), T)
+    else:  # pure-Python fallback
+        re_ids = np.zeros((n, len(RE_FEATURE_KEYS), T), dtype=np.int32)
+        re_mask = np.zeros_like(re_ids)
+        re_value = np.zeros_like(re_ids)
+        txt_ids = np.zeros((n, Tn), dtype=np.int32)
+        txt_mask = np.zeros((n, Tn), dtype=np.int32)
+        for r, row in enumerate(records):
+            for f, values in enumerate(_re_values(row)):
+                pos = 0
+                for v_i, value in enumerate(values):
+                    for w in tok.normalize(value):
+                        if pos >= T:
+                            break
+                        re_ids[r, f, pos] = tok.token_id(w, cfg.text_vocab_size)
+                        re_mask[r, f, pos] = 1
+                        re_value[r, f, pos] = v_i + 1
+                        pos += 1
+            txt_ids[r], txt_mask[r] = tok.encode(tagged_name(row), Tn,
+                                                 cfg.text_vocab_size)
 
     return {
         "std": std, "re_ids": re_ids, "re_mask": re_mask, "re_value": re_value,

@@ -172,3 +172,17 @@ def test_side_info_alignment(world):
     assert (side[1:] > 0).all()
     assert id_map.idx(id_map.ids[0]) == 1
     assert id_map.idx("missing") == 0
+
+
+def test_native_packer_matches_python(world, monkeypatch):
+    """Native C++ tokenization must be bit-identical to the Python path."""
+    from recsys_tpu.data import native_pack
+
+    items, _, _ = world
+    vcfg = VocabConfig(max_field_tokens=16, max_name_tokens=12)
+    assert native_pack.native_available()  # g++ is baked into the image
+    t_native = tokenize_items(items, StdVocab(), vcfg)
+    monkeypatch.setattr(native_pack, "native_available", lambda: False)
+    t_python = tokenize_items(items, StdVocab(), vcfg)
+    for k in ("std", "re_ids", "re_mask", "re_value", "txt_ids", "txt_mask"):
+        np.testing.assert_array_equal(t_native[k], t_python[k], err_msg=k)
