@@ -203,6 +203,22 @@ def make_sequences(train_tx: pd.DataFrame, max_len: int = 50) -> pd.DataFrame:
     return out
 
 
+def aggregate_histories(tx: pd.DataFrame, out_json: str | None = None) -> dict:
+    """Per-customer article/date lists + per-article counts (the reference's
+    polars aggregation + JSON export, `staticstics/data_agg.py:29-61`)."""
+    user_hist = {
+        uid: {"items": list(g["item_id"]), "days": [int(d) for d in g["day"]]}
+        for uid, g in tx.sort_values("day", kind="stable").groupby("user_id")
+    }
+    article_counts = tx.groupby("item_id").size().astype(int).to_dict()
+    out = {"user_histories": user_hist, "article_counts": article_counts}
+    if out_json:
+        import json
+        with open(out_json, "w") as f:
+            json.dump(out, f, indent=1)
+    return out
+
+
 # -- audits (real tests assert on these) ----------------------------------
 
 def final_sanity_check(sequences: pd.DataFrame, targets: dict[str, list[str]]) -> dict:

@@ -186,3 +186,14 @@ def test_native_packer_matches_python(world, monkeypatch):
     t_python = tokenize_items(items, StdVocab(), vcfg)
     for k in ("std", "re_ids", "re_mask", "re_value", "txt_ids", "txt_mask"):
         np.testing.assert_array_equal(t_native[k], t_python[k], err_msg=k)
+
+
+def test_aggregate_histories(world, tmp_path):
+    _, _, tx = world
+    out = etl.aggregate_histories(tx, str(tmp_path / "agg.json"))
+    assert len(out["user_histories"]) == tx["user_id"].nunique()
+    some = next(iter(out["user_histories"].values()))
+    assert some["days"] == sorted(some["days"])
+    assert sum(out["article_counts"].values()) == len(tx)
+    import json
+    assert json.load(open(tmp_path / "agg.json"))["article_counts"]
