@@ -137,9 +137,9 @@ def train_lightgcl(cfg: Config, graph: BipartiteGraph, edges_u: np.ndarray,
     g = cfg.gnn
     prop_fn, prop_args = select_propagation(g, graph, graph.num_nodes)
     model = LightGCL(graph.num_users, graph.num_items, g, prop_fn=prop_fn)
-    params = model.init(jax.random.PRNGKey(cfg.data.seed), prop_args,
-                        jnp.asarray(graph.svd_u), jnp.asarray(graph.svd_s),
-                        jnp.asarray(graph.svd_v))["params"]
+    params = jax.jit(model.init)(jax.random.PRNGKey(cfg.data.seed), prop_args,
+                                 jnp.asarray(graph.svd_u), jnp.asarray(graph.svd_s),
+                                 jnp.asarray(graph.svd_v))["params"]
     steps_per_epoch = max(len(edges_u) // g.batch_size, 1)
     if fine_tune:
         sched = optax.cosine_decay_schedule(g.lr * 0.4, steps_per_epoch * g.epochs,

@@ -113,12 +113,11 @@ def train_hybrid(cfg: Config, data: dict, content: np.ndarray,
     sample = _slice(tensors, np.arange(min(bs, n)))
     cv = jnp.zeros((sample["input_ids"].shape[0], cfg.user_tower.max_len, content.shape[1]))
     gv = jnp.zeros((sample["input_ids"].shape[0], cfg.user_tower.max_len, gnn_items.shape[1]))
-    params = model.init({"params": key, "dropout": key}, cv, gv,
-                        sample["input_ids"], sample["time_buckets"],
-                        sample["seq_mask"], jnp.zeros((sample["input_ids"].shape[0],
-                                                       gnn_items.shape[1])),
-                        sample["user_buckets"], sample["user_cats"],
-                        sample["user_cont"])["params"]
+    params = jax.jit(model.init)(
+        {"params": key, "dropout": key}, cv, gv,
+        sample["input_ids"], sample["time_buckets"], sample["seq_mask"],
+        jnp.zeros((sample["input_ids"].shape[0], gnn_items.shape[1])),
+        sample["user_buckets"], sample["user_cats"], sample["user_cont"])["params"]
     tx = optax.chain(optax.clip_by_global_norm(ut.grad_clip),
                      optax.adamw(ut.lr, weight_decay=ut.weight_decay))
     state = jax.device_put(TrainState.create(params, tx), replicated(mesh))

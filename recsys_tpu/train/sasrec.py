@@ -79,12 +79,14 @@ def init_stage2_params(cfg: Config, num_items_pad: int, pretrained: np.ndarray |
     B, L = sample_batch["input_ids"].shape
     dummy_vecs = jnp.zeros((B, L, cfg.user_tower.d_model))
     dummy_side = jnp.zeros((B, L, cfg.user_tower.num_side_fields), jnp.int32)
-    user_params = user_model.init(
+    # jit the inits: un-jitted flax init executes op-by-op, which is
+    # pathological over a remote-TPU tunnel (one dispatch+compile per op)
+    user_params = jax.jit(user_model.init)(
         {"params": k1, "dropout": k1}, dummy_vecs, sample_batch["input_ids"],
         sample_batch["time_buckets"], dummy_side, sample_batch["seq_mask"],
         sample_batch["user_buckets"], sample_batch["user_cats"],
         sample_batch["user_cont"])["params"]
-    item_params = item_model.init(k2, jnp.zeros((2,), jnp.int32))["params"]
+    item_params = jax.jit(item_model.init)(k2, jnp.zeros((2,), jnp.int32))["params"]
     if pretrained is not None:
         item_params = {"item_matrix": jnp.asarray(pretrained, jnp.float32)}
     return {"user": user_params, "item": item_params}, (user_model, item_model)

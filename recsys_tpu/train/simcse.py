@@ -47,9 +47,9 @@ def build_model(cfg: Config, std_vocab_size: int, num_std_fields: int) -> SimCSE
 
 def init_params(model: SimCSEModel, tensors: dict, key: jax.Array):
     sample = slice_item_batch(tensors, np.arange(2))
-    return model.init({"params": key, "dropout": key},
-                      sample["std"], sample["re_ids"], sample["re_mask"],
-                      sample["txt_ids"], sample["txt_mask"])["params"]
+    return jax.jit(model.init)({"params": key, "dropout": key},
+                               sample["std"], sample["re_ids"], sample["re_mask"],
+                               sample["txt_ids"], sample["txt_mask"])["params"]
 
 
 def make_optimizer(cfg: Config, params, total_steps: int):
