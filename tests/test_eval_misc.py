@@ -1,0 +1,44 @@
+"""Eval helpers: generic retrieval evaluator, t-SNE monitor."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from recsys_tpu.eval.recall import evaluate_retrieval, recall_at_ks
+
+
+def test_recall_at_ks_denominator_semantics():
+    # user u0 has targets {1,2}; u1 absent from ground truth -> dropped
+    topk = np.array([[1, 5, 6], [9, 9, 9]])
+    out = recall_at_ks(topk, ["u0", "u1"], {"u0": {1, 2}}, ks=(1, 3))
+    assert out["n_eval"] == 1
+    assert out["recall@1"] == 0.5 and out["recall@3"] == 0.5
+
+
+def test_evaluate_retrieval_pipeline():
+    rng = np.random.default_rng(0)
+    N, D = 30, 8
+    items = rng.normal(size=(N + 1, D)).astype(np.float32)
+    items[0] = 0
+
+    def forward(batch):
+        return jnp.asarray(items[batch])  # users ARE item vectors
+
+    batches = [(np.array([3, 7]), ["u3", "u7"]), (np.array([11]), ["u11"])]
+    targets = {"u3": {3}, "u7": {7}, "u11": {11}}
+    out = evaluate_retrieval(forward, batches, jnp.asarray(items), targets,
+                             ks=(1, 5))
+    assert out["n_eval"] == 3 and out["recall@1"] == 1.0
+
+
+def test_tsne_scatter(tmp_path):
+    from recsys_tpu.eval.viz import tsne_scatter
+
+    rng = np.random.default_rng(1)
+    emb = np.concatenate([rng.normal(0, 1, (40, 16)),
+                          rng.normal(6, 1, (40, 16))]).astype(np.float32)
+    labels = ["a"] * 40 + ["b"] * 40
+    coords = tsne_scatter(emb, str(tmp_path / "tsne.png"), labels=labels,
+                          sample=60, perplexity=10)
+    assert coords.shape == (60, 2)
+    assert (tmp_path / "tsne.png").exists()
