@@ -180,6 +180,12 @@ class ServeConfig:
     fast_mode_multiplier: int = 4  # `utils/inference_utils.py:155`
     similarity_top_k: int = 50     # `APIController/controller.py:84-93`
     db_path: str = "artifacts/serve.db"
+    # ANN backend: exact C++ scan (honest at <=100k items) or native HNSW
+    # (reference pgvector config m=24/efc=200/efs=100; for 1M+ catalogs)
+    ann_backend: str = "exact"     # exact | hnsw
+    hnsw_m: int = 24
+    hnsw_ef_construction: int = 200
+    hnsw_ef_search: int = 100
 
 
 @dataclass(frozen=True)

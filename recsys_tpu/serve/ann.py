@@ -181,3 +181,103 @@ class VectorIndex:
                 self._lib.vecindex_free(self._h)
             except Exception:
                 pass
+
+
+# -- HNSW (approximate) ----------------------------------------------------
+
+_HNSW_SO = os.path.join(_NATIVE_DIR, "build", "libhnsw.so")
+_hnsw_lib = None
+
+
+def _load_hnsw():
+    global _hnsw_lib
+    if _hnsw_lib is not None:
+        return _hnsw_lib
+    if not os.path.exists(_HNSW_SO) and not _build_native():
+        return None
+    lib = ctypes.CDLL(_HNSW_SO)
+    lib.hnsw_create.restype = ctypes.c_void_p
+    lib.hnsw_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                ctypes.c_uint64]
+    lib.hnsw_free.argtypes = [ctypes.c_void_p]
+    lib.hnsw_size.argtypes = [ctypes.c_void_p]
+    lib.hnsw_size.restype = ctypes.c_int64
+    lib.hnsw_dim.argtypes = [ctypes.c_void_p]
+    lib.hnsw_dim.restype = ctypes.c_int
+    lib.hnsw_add.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+                             ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+    lib.hnsw_topk.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+                              ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+                              ctypes.POINTER(ctypes.c_int64),
+                              ctypes.POINTER(ctypes.c_float)]
+    lib.hnsw_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.hnsw_save.restype = ctypes.c_int
+    lib.hnsw_load.argtypes = [ctypes.c_char_p]
+    lib.hnsw_load.restype = ctypes.c_void_p
+    _hnsw_lib = lib
+    return lib
+
+
+def hnsw_available() -> bool:
+    return _load_hnsw() is not None
+
+
+class HnswIndex:
+    """Native approximate cosine index — the pgvector-HNSW equivalent for
+    1M+ catalogs (reference config defaults: m=24, ef_construction=200,
+    ef_search=100 — `database.py:106-112`)."""
+
+    def __init__(self, dim: int, m: int = 24, ef_construction: int = 200,
+                 ef_search: int = 100, seed: int = 42, _handle=None):
+        self._lib = _load_hnsw()
+        if self._lib is None:
+            raise RuntimeError("native hnsw unavailable (no compiler?)")
+        self.dim = dim
+        self.ef_search = ef_search
+        self._h = _handle if _handle is not None else \
+            self._lib.hnsw_create(dim, m, ef_construction, seed)
+
+    def add(self, ids: Sequence[int], vecs: np.ndarray) -> None:
+        vecs = np.ascontiguousarray(vecs, np.float32)
+        ids_arr = np.ascontiguousarray(ids, np.int64)
+        assert vecs.shape == (len(ids_arr), self.dim)
+        self._lib.hnsw_add(
+            self._h, ids_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            vecs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(ids_arr))
+
+    def __len__(self) -> int:
+        return int(self._lib.hnsw_size(self._h))
+
+    def topk(self, queries: np.ndarray, k: int, ef_search: int | None = None):
+        queries = np.ascontiguousarray(np.atleast_2d(queries), np.float32)
+        m = queries.shape[0]
+        out_ids = np.empty((m, k), np.int64)
+        out_scores = np.empty((m, k), np.float32)
+        self._lib.hnsw_topk(
+            self._h, queries.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            m, k, int(ef_search or self.ef_search),
+            out_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return out_ids, out_scores
+
+    def save(self, path: str) -> None:
+        if not self._lib.hnsw_save(self._h, path.encode()):
+            raise IOError(f"hnsw save failed: {path}")
+
+    @classmethod
+    def load(cls, path: str, ef_search: int = 100) -> "HnswIndex":
+        lib = _load_hnsw()
+        if lib is None:
+            raise RuntimeError("native hnsw unavailable")
+        h = lib.hnsw_load(path.encode())
+        if not h:
+            raise IOError(f"hnsw load failed: {path}")
+        return cls(lib.hnsw_dim(ctypes.c_void_p(h)), ef_search=ef_search,
+                   _handle=h)
+
+    def __del__(self):
+        if getattr(self, "_h", None) is not None and self._lib is not None:
+            try:
+                self._lib.hnsw_free(self._h)
+            except Exception:
+                pass

@@ -201,7 +201,14 @@ class AppContext:
 def build_app_context(cfg: Config, vectorizer: Callable | None = None) -> AppContext:
     store = ServeStore(cfg.serve.db_path if cfg.serve.db_path == ":memory:"
                        else _ensure_dir(cfg.serve.db_path))
-    index = VectorIndex(cfg.item_tower.dim, cosine=True)
+    if cfg.serve.ann_backend == "hnsw":
+        from recsys_tpu.serve.ann import HnswIndex
+
+        index = HnswIndex(cfg.item_tower.dim, m=cfg.serve.hnsw_m,
+                          ef_construction=cfg.serve.hnsw_ef_construction,
+                          ef_search=cfg.serve.hnsw_ef_search)
+    else:
+        index = VectorIndex(cfg.item_tower.dim, cosine=True)
     ctx = AppContext(cfg, store, index,
                      vectorizer or hash_vectorizer(cfg.item_tower.dim))
     # warm the index from any vectors already in the store

@@ -165,3 +165,51 @@ def test_http_contract(http_ctx):
 
     code, r = _call(base, "GET", "/definitely/not/a/route")
     assert code == 404
+
+
+def test_hnsw_index_recall_on_clustered_embeddings():
+    """Native HNSW (reference pgvector config) must recover >95% of exact
+    top-50 on clustered embeddings — the realistic regime."""
+    from recsys_tpu.serve.ann import HnswIndex, hnsw_available
+
+    assert hnsw_available()
+    rng = np.random.default_rng(0)
+    N, D = 4000, 64
+    centers = rng.normal(size=(40, D)).astype(np.float32) * 2
+    vecs = (centers[rng.integers(0, 40, N)]
+            + rng.normal(size=(N, D))).astype(np.float32)
+    hx = HnswIndex(D)
+    hx.add(np.arange(N), vecs)
+    assert len(hx) == N
+    ex = VectorIndex(D)
+    ex.add(np.arange(N), vecs)
+    q = (centers[rng.integers(0, 40, 40)] + rng.normal(size=(40, D))).astype(np.float32)
+    h_ids, h_scores = hx.topk(q, 50)
+    e_ids, _ = ex.topk(q, 50)
+    recall = np.mean([len(set(h_ids[i]) & set(e_ids[i])) / 50 for i in range(40)])
+    assert recall > 0.95
+    assert (np.diff(h_scores, axis=1) <= 1e-6).all()  # sorted descending
+    # upsert keeps size; save/load round trip
+    hx.add([5], vecs[6:7])
+    assert len(hx) == N
+    import tempfile, os
+    path = os.path.join(tempfile.mkdtemp(), "h.bin")
+    hx.save(path)
+    hx2 = HnswIndex.load(path)
+    ids2, _ = hx2.topk(q[:3], 5)
+    assert (ids2 >= 0).all()
+
+
+def test_app_context_hnsw_backend():
+    from recsys_tpu.config import Config, ServeConfig
+    from recsys_tpu.serve.ann import HnswIndex
+
+    cfg = Config(serve=ServeConfig(db_path=":memory:", batch_size=8,
+                                   ann_backend="hnsw"))
+    ctx = build_app_context(cfg)
+    assert isinstance(ctx.index, HnswIndex)
+    ctx.store.ingest_products(_products(12))
+    while ctx.process_pending()["processed_count"]:
+        pass
+    sim = ctx.similar_items("p0", top_k=5)
+    assert len(sim["results"]) == 5
