@@ -122,6 +122,10 @@ class UserTrainConfig:
     plateau_patience: int = 2
     kernel: str = "auto"           # contrastive kernel: auto | pallas | xla
     random_cut_prob: float = 0.2   # hybrid-tower sequence augmentation
+    # main-loss variant (the reference's loss zoo, `v1_refine_usertower.py`):
+    # logq (all-time sampled softmax, the run_pipeline default) | hnm |
+    # mixed_hnm | margin (full_batch_hard_emphasis)
+    loss_variant: str = "logq"
 
 
 @dataclass(frozen=True)

@@ -139,9 +139,33 @@ def make_stage2_step(cfg: Config, models, side: np.ndarray, logq: np.ndarray):
         tgt_ids = jnp.take_along_axis(batch["target_ids"], pos, axis=1).reshape(-1)
         tgt_emb = l2_normalize(item_model.apply({"params": params["item"]}, tgt_ids))
         user_row_ids = jnp.repeat(jnp.arange(B), P_)
-        main = logq_loss(
-            rows, tgt_emb, tgt_ids, logq_c, temperature=ut.temperature,
-            lambda_logq=ut.lambda_logq, user_ids=user_row_ids)
+        if ut.loss_variant == "hnm":
+            from recsys_tpu.ops.contrastive import hnm_corrected_loss
+
+            main, _stats = hnm_corrected_loss(
+                rows, tgt_emb, tgt_ids, logq_c, temperature=ut.temperature,
+                lambda_logq=ut.lambda_logq, top_k_percent=ut.top_k_percent,
+                threshold=ut.hnm_threshold)
+        elif ut.loss_variant == "mixed_hnm":
+            from recsys_tpu.ops.contrastive import mixed_hnm_loss
+
+            key_hnm = jax.random.fold_in(kp, 1)
+            main, _stats = mixed_hnm_loss(
+                rows, tgt_emb, tgt_ids, logq_c, key_hnm,
+                temperature=ut.temperature, lambda_logq=ut.lambda_logq,
+                top_k_percent=ut.top_k_percent, threshold=ut.hnm_threshold,
+                num_random=ut.num_random_negs)
+        elif ut.loss_variant == "margin":
+            from recsys_tpu.ops.contrastive import full_batch_hard_emphasis_loss
+
+            main = full_batch_hard_emphasis_loss(
+                rows, tgt_emb, tgt_ids, logq_c, temperature=ut.temperature,
+                lambda_logq=ut.lambda_logq, top_k_percent=ut.top_k_percent,
+                threshold=ut.hnm_threshold, margin=ut.hard_margin)
+        else:  # "logq" — the run_pipeline default
+            main = logq_loss(
+                rows, tgt_emb, tgt_ids, logq_c, temperature=ut.temperature,
+                lambda_logq=ut.lambda_logq, user_ids=user_row_ids)
         cl = duorec_loss(u1[:, -1], u2[:, -1], batch["target_ids"][:, -1],
                          temperature=ut.temperature, lambda_sup=ut.lambda_sup)
         return main + ut.lambda_cl * cl, {"main": main, "cl": cl}

@@ -102,3 +102,20 @@ def test_user_vectors_normalized(stage2_data, mesh):
     u = uv_fn(params, {k: jnp.asarray(v) for k, v in sample.items()})
     assert u.shape == (8, 128)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(u), axis=-1), 1.0, rtol=1e-3)
+
+
+@pytest.mark.parametrize("variant", ["hnm", "mixed_hnm", "margin"])
+def test_loss_variants_train(stage2_data, mesh, tmp_path, variant):
+    """Every loss-zoo variant runs through the jitted stage-2 step."""
+    from recsys_tpu.config import Config as C2
+
+    cfg = C2(**{**CFG.__dict__,
+                "user_train": UserTrainConfig(
+                    batch_size=16, epochs=1, positions_per_user=2,
+                    eval_ks=(5,), freeze_item_epochs=0, loss_variant=variant,
+                    top_k_percent=0.1)})
+    rng = np.random.default_rng(0)
+    pretrained = rng.normal(0, 0.05, (121, 128)).astype(np.float32)
+    state, history, _ = sasrec.train_user_tower(
+        cfg, stage2_data, pretrained, mesh, str(tmp_path / variant))
+    assert len(history) == 1 and np.isfinite(history[0]["recall@5"])
