@@ -15,7 +15,6 @@ asserted in tests.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -34,7 +34,7 @@ import time
 import numpy as np
 import pandas as pd
 
-from recsys_tpu.config import Config, load_config, to_dict
+from recsys_tpu.config import Config, load_config
 
 
 def _paths(cfg: Config) -> dict:
