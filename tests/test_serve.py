@@ -213,3 +213,45 @@ def test_app_context_hnsw_backend():
         pass
     sim = ctx.similar_items("p0", top_k=5)
     assert len(sim["results"]) == 5
+
+
+def test_model_backed_vectorizer_consistency():
+    """serve-time model vectorizer must agree with the offline
+    materialization path for the same params."""
+    import jax
+    from recsys_tpu.config import (
+        DataConfig, ItemTowerConfig, MeshConfig, SimCSEConfig, VocabConfig)
+    from recsys_tpu.data.dataset import tokenize_items
+    from recsys_tpu.data.synthetic import generate_dataset
+    from recsys_tpu.data.vocab import StdVocab
+    from recsys_tpu.parallel.mesh import build_mesh
+    from recsys_tpu.serve.app import model_vectorizer
+    from recsys_tpu.serve.store import TrainingItem
+    from recsys_tpu.train.simcse import build_model, init_params, materialize_item_vectors
+
+    cfg = Config(
+        data=DataConfig(num_items=24, num_users=8, days=20, seed=9),
+        vocab=VocabConfig(max_field_tokens=8, max_name_tokens=8, text_vocab_size=256),
+        item_tower=ItemTowerConfig(head_hidden=(128,), fusion_layers=1, text_layers=1))
+    items, _, _ = generate_dataset(cfg.data)
+    tensors = tokenize_items(items, StdVocab(), cfg.vocab)
+    params = init_params(build_model(cfg, StdVocab().size, 6), tensors,
+                         jax.random.PRNGKey(0))
+    mesh = build_mesh(MeshConfig(num_data=1, num_model=1), jax.devices()[:1])
+    import tempfile
+    mat = materialize_item_vectors(cfg, params, tensors, mesh,
+                                   tempfile.mkdtemp() + "/m", batch_size=24)
+
+    vec_fn = model_vectorizer(cfg, params)
+    recs = items.sort_values("item_id").to_dict("records")
+    std_fields = ("product_type_name", "graphical_appearance_name",
+                  "colour_group_name", "department_name", "section_name",
+                  "perceived_colour_value_name")
+    training_items = [
+        TrainingItem(r["item_id"],
+                     {"reinforced_feature": r["reinforced_feature"],
+                      **{f: r[f] for f in std_fields}},
+                     r["product_name"])
+        for r in recs[:6]]
+    served = vec_fn(training_items)
+    np.testing.assert_allclose(served, mat[1:7], atol=2e-2)
