@@ -111,4 +111,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--profile" in sys.argv:
+        from recsys_tpu.train.metrics import profile_trace
+
+        with profile_trace("artifacts/trace"):
+            main()
+    else:
+        main()
