@@ -29,7 +29,7 @@ from recsys_tpu.ops.contrastive import corrected_logq_with_recovery
 from recsys_tpu.parallel.mesh import data_sharding, replicated
 from recsys_tpu.train.checkpoint import CheckpointStore, align_rows
 from recsys_tpu.train.metrics import MetricWriter
-from recsys_tpu.train.sasrec import BATCH_KEYS, _slice
+from recsys_tpu.train.sasrec import _slice
 from recsys_tpu.train.state import TrainState
 
 
