@@ -201,6 +201,11 @@ class DataConfig:
     valid_days: int = 7            # ground truth = last-7-day purchases
     max_seq_len: int = 50
     seed: int = 42
+    # persona realism knobs (persona_t.md structure): each persona
+    # concentrates on a preferred item pool, and shoppers repurchase
+    persona_pool_frac: float = 0.15
+    persona_pool_boost: float = 8.0
+    repeat_prob: float = 0.25
 
 
 @dataclass(frozen=True)

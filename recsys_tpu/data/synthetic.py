@@ -192,7 +192,15 @@ def generate_users(cfg: DataConfig, rng: np.random.Generator) -> pd.DataFrame:
 
 def generate_transactions(cfg: DataConfig, items: pd.DataFrame, users: pd.DataFrame,
                           rng: np.random.Generator) -> pd.DataFrame:
-    """Zipf-popular, persona-biased purchase log over ``cfg.days`` days."""
+    """Zipf-popular, persona-biased purchase log over ``cfg.days`` days.
+
+    Realism structure from the persona contract (persona_t.md):
+      * every persona concentrates on a preferred ITEM POOL
+        (``persona_pool_frac`` of the catalog, ``persona_pool_boost`` x
+        likelier) on top of the gender/style affinity;
+      * shoppers REPURCHASE: with ``repeat_prob`` a basket slot is drawn
+        from the user's own history — the signal sequence models feed on.
+    """
     n_items = len(items)
     # global popularity skew (Zipf) — the LogQ source
     pop = 1.0 / np.arange(1, n_items + 1) ** 0.9
@@ -205,11 +213,22 @@ def generate_transactions(cfg: DataConfig, items: pd.DataFrame, users: pd.DataFr
     price = items["price"].to_numpy()
     item_ids = items["item_id"].to_numpy()
 
+    pool_size = max(int(n_items * cfg.persona_pool_frac), 1)
+    personas = sorted(users["persona"].unique())
+    pools = {p: set(rng.choice(n_items, pool_size, replace=False).tolist())
+             for p in personas}
+
     recs = []
     for _, u in users.iterrows():
-        # taste mask: persona prefers matching gender & style items 4:1
+        # taste mask: persona prefers matching gender & style items 4:1,
+        # and its own pool by persona_pool_boost
         affinity = np.where(item_gender == u["gender"], 4.0, 1.0)
         affinity = affinity * np.where(item_style == u["style"], 2.0, 1.0)
+        pool = pools[u["persona"]]
+        in_pool = np.zeros(n_items, bool)
+        in_pool[list(pool)] = True
+        affinity = affinity * np.where(in_pool, cfg.persona_pool_boost, 1.0)
+        history: list[int] = []
         n_sessions = int(rng.poisson(8)) + 1
         days = np.sort(rng.integers(0, cfg.days, size=n_sessions))
         for day in days:
@@ -224,6 +243,9 @@ def generate_transactions(cfg: DataConfig, items: pd.DataFrame, users: pd.DataFr
             chosen = rng.choice(n_items, size=min(basket, int(avail.sum())),
                                 replace=False, p=w)
             for c in chosen:
+                if history and rng.random() < cfg.repeat_prob:
+                    c = history[rng.integers(len(history))]  # repurchase
+                history.append(int(c))
                 recs.append({
                     "user_id": u["user_id"],
                     "item_id": item_ids[c],
