@@ -159,6 +159,7 @@ def _spmm_kernel(sb_ref, db_ref, x_ref, sl_ref, dl_ref, w_ref, out_ref,
     # sub-chunk per unrolled iteration (TPU tiling forbids (1, chunk_e))
     xb = x_ref[:].astype(acc_dtype)                            # (Bn, D)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (128, block_n), 1)
+    rows_bn = jax.lax.broadcasted_iota(jnp.int32, (block_n, 128), 0)
     acc = jnp.zeros_like(out_ref)
     for j in range(chunk_e // 128):
         sl = sl_ref[0, j, :]                                   # (128,)
@@ -169,9 +170,11 @@ def _spmm_kernel(sb_ref, db_ref, x_ref, sl_ref, dl_ref, w_ref, out_ref,
             onehot_s, xb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                # (128, D)
         msgs = msgs * w[:, None]
-        onehot_d = (dl[:, None] == lanes).astype(acc_dtype)
+        # scatter one-hot built pre-transposed so the second matmul
+        # contracts over the lhs LAST dim (MXU-native orientation)
+        onehot_dT = (dl[None, :] == rows_bn).astype(acc_dtype)  # (Bn, 128)
         acc = acc + jax.lax.dot_general(
-            onehot_d, msgs.astype(acc_dtype), (((0,), (0,)), ((), ())),
+            onehot_dT, msgs.astype(acc_dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                # (Bn, D)
     out_ref[:] += acc
 
