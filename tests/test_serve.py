@@ -255,3 +255,17 @@ def test_model_backed_vectorizer_consistency():
         for r in recs[:6]]
     served = vec_fn(training_items)
     np.testing.assert_allclose(served, mat[1:7], atol=2e-2)
+
+
+def test_service_table_twin_paths():
+    """The product_service_* twin tables run the same flows."""
+    store = ServeStore()
+    store.ingest_products(_products(4, "s"), table="service")
+    assert store.pending_count("service") == 4
+    assert store.pending_count("inference") == 0
+    items = store.pending_products(10, "service")
+    store.save_vectors([i.product_id for i in items],
+                       np.ones((4, 8), np.float32), "service")
+    assert store.pending_count("service") == 0
+    ids, vecs = store.all_vectors("service")
+    assert len(ids) == 4 and vecs.shape == (4, 8)
