@@ -82,6 +82,23 @@ def cmd_gen_data(cfg: Config, args) -> dict:
     return {"items": len(items), "users": len(users), "transactions": len(tx)}
 
 
+def cmd_ingest_hm(cfg: Config, args) -> dict:
+    """Real-data front door: the three H&M Kaggle CSVs -> the canonical
+    parquet trio + a fitted STD vocab, so every later stage runs unchanged."""
+    from recsys_tpu.data.hm_adapter import load_hm_dataset, vocab_from_items
+    p = _paths(cfg)
+    os.makedirs(p["root"], exist_ok=True)
+    items, users, tx = load_hm_dataset(
+        args.hm_dir, date_min=getattr(args, "date_min", None),
+        date_max=getattr(args, "date_max", None))
+    items.to_parquet(p["items"])
+    users.to_parquet(p["users"])
+    tx.to_parquet(p["tx"])
+    vocab_from_items(items).to_json(f"{p['root']}/std_vocab.json")
+    return {"items": len(items), "users": len(users), "transactions": len(tx),
+            "vocab": f"{p['root']}/std_vocab.json"}
+
+
 def cmd_enrich(cfg: Config, args) -> dict:
     """Re-run the LLM enrichment stage over the item master (idempotent)."""
     from recsys_tpu.data.synthetic import enrich_item
@@ -418,6 +435,7 @@ def cmd_orchestrate(cfg: Config, args) -> dict:
 
 COMMANDS = {
     "gen-data": cmd_gen_data,
+    "ingest-hm": cmd_ingest_hm,
     "enrich": cmd_enrich,
     "etl": cmd_etl,
     "train-item": cmd_train_item,
@@ -446,6 +464,10 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=None)
     parser.add_argument("--model-backed", action="store_true", dest="model_backed")
     parser.add_argument("--init-ckpt", default=None, dest="init_ckpt")
+    parser.add_argument("--hm-dir", default=None, dest="hm_dir",
+                        help="directory with the H&M Kaggle CSVs (ingest-hm)")
+    parser.add_argument("--date-min", default=None, dest="date_min")
+    parser.add_argument("--date-max", default=None, dest="date_max")
     args = parser.parse_args(argv)
 
     overrides: dict = {}
