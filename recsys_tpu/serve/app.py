@@ -110,12 +110,106 @@ def model_vectorizer(cfg: Config, params) -> Callable[[list[TrainingItem]], np.n
     return fn
 
 
+def history_user_vectorizer(ctx: "AppContext", half_life_s: float = 7 * 86400.0):
+    """Default user-vector backend: action-weighted, recency-decayed mean of
+    the user's interacted item vectors, L2-normalized.
+
+    Action weights follow the reference's `ActionType` ordinals
+    (CLICK=1, CART=3, PURCHASE=5, `database.py:47-55`); recency decay is an
+    exponential half-life relative to the user's LATEST event (not wall
+    clock, so a dormant user keeps a meaningful vector instead of an
+    underflowed zero).  A model-backed variant (the trained user tower)
+    plugs in via ``AppContext.user_vectorize_fn`` — same signature, same
+    flows.
+    """
+
+    def fn(profiles: list[dict]) -> np.ndarray:
+        dim = ctx.cfg.item_tower.dim
+        ids = [p["user_id"] for p in profiles]
+        hists = ctx.store.user_histories(ids)
+        out = np.zeros((len(profiles), dim), np.float32)
+        for r, uid in enumerate(ids):
+            acc = np.zeros(dim, np.float32)
+            events = hists.get(uid, [])
+            t_last = max((e["ts"] for e in events), default=0.0)
+            for e in events:
+                ivec = ctx.store.get_vector(str(e["product_id"]))
+                if ivec is None or ivec.shape[0] != dim:
+                    continue
+                w = float(e["action_type"]) * 0.5 ** ((t_last - e["ts"]) / half_life_s)
+                acc += w * ivec
+            n = np.linalg.norm(acc)
+            out[r] = acc / n if n > 0 else acc
+        return out
+
+    return fn
+
+
+def tower_user_vectorizer(ctx: "AppContext", cfg: Config, params,
+                          item_ids: list[str], side: np.ndarray | None = None):
+    """Model-backed user vectorizer: store histories -> left-padded id
+    sequences -> the trained SASRec user tower's eval forward (last-step
+    vector).  The serving twin of the offline eval encoder path — exactly
+    `make_stage2_step`'s ``user_vectors`` jit on serve-built batches.
+
+    ``item_ids`` is the stage-2 id map's row order (index 0 = PAD), i.e. the
+    ``item_map.ids`` sidecar saved with the checkpoint.  Static user features
+    are unavailable at serve time and enter as zeros — the tower's sigmoid
+    static gates make that a graceful degradation, not a crash.
+    """
+    from recsys_tpu.data.dataset import TIME_BUCKET_EDGES
+    from recsys_tpu.models.user_tower import SASRecItemTower, SASRecUserTower
+    from recsys_tpu.train.sasrec import make_stage2_step
+
+    utc = cfg.user_tower
+    N = len(item_ids)
+    models = (SASRecUserTower(utc, num_id_embeddings=N),
+              SASRecItemTower(N, utc.d_model))
+    if side is None:
+        side = np.zeros((N, utc.num_side_fields), np.int32)
+    _, user_vectors = make_stage2_step(cfg, models, side, np.zeros(N, np.float32))
+    L = utc.max_len
+    id_of = {str(p): i for i, p in enumerate(item_ids)}
+
+    def fn(profiles: list[dict]) -> np.ndarray:
+        ids = [p["user_id"] for p in profiles]
+        hists = ctx.store.user_histories(ids)
+        B = len(profiles)
+        batch = {
+            "input_ids": np.zeros((B, L), np.int32),
+            "target_ids": np.zeros((B, L), np.int32),
+            "time_buckets": np.zeros((B, L), np.int32),
+            "seq_mask": np.zeros((B, L), np.int32),
+            "user_buckets": np.zeros((B, utc.static_bucket_fields), np.int32),
+            "user_cats": np.zeros((B, utc.static_cat_fields), np.int32),
+            "user_cont": np.zeros((B, utc.static_cont_fields), np.float32),
+        }
+        for r, uid in enumerate(ids):
+            events = [e for e in hists.get(uid, [])
+                      if str(e["product_id"]) in id_of][-L:]
+            if not events:
+                continue
+            k = len(events)
+            # left padding: latest event last (`v1_refine_usertower.py:241-250`)
+            batch["input_ids"][r, L - k:] = [id_of[str(e["product_id"])]
+                                             for e in events]
+            last_ts = events[-1]["ts"]
+            days = np.array([(last_ts - e["ts"]) / 86400.0 for e in events])
+            batch["time_buckets"][r, L - k:] = np.digitize(
+                days, TIME_BUCKET_EDGES[1:])
+            batch["seq_mask"][r, L - k:] = 1
+        return np.asarray(user_vectors(params, batch))
+
+    return fn
+
+
 @dataclass
 class AppContext:
     cfg: Config
     store: ServeStore
     index: VectorIndex
     vectorize_fn: Callable[[list[TrainingItem]], np.ndarray]
+    user_vectorize_fn: Callable[[list[dict]], np.ndarray] | None = None
     train_item_fn: Callable[..., dict] | None = None
     train_user_fn: Callable[..., dict] | None = None
     int_to_pid: dict[int, str] = field(default_factory=dict)
@@ -176,6 +270,51 @@ class AppContext:
             save_array_with_ids(artifact_path, full, all_ids,
                                 meta={"source": "refresh_item_vectors"})
         return {"count": len(all_ids)}
+
+    # -- user-vector symmetry (reference stores `user_service_vector` but
+    # has no populating flow, `database.py:152-173`; these mirror the
+    # product vectorize contract exactly) ---------------------------------
+    def _user_vectorize(self, profiles: list[dict]) -> np.ndarray:
+        fn = self.user_vectorize_fn or history_user_vectorizer(self)
+        return fn(profiles)
+
+    def process_pending_users(self, batch_size: int | None = None) -> dict:
+        profiles = self.store.pending_users(batch_size or self.batch_size)
+        if not profiles:
+            return {"processed_count": 0, "remaining": 0}
+        vecs = self._user_vectorize(profiles)
+        ids = [p["user_id"] for p in profiles]
+        self.store.save_user_vectors(ids, vecs)
+        return {"processed_count": len(ids),
+                "remaining": self.store.user_pending_count()}
+
+    def refresh_user_vectors(self) -> dict:
+        profiles = self.store.all_user_profiles()
+        if not profiles:
+            return {"count": 0}
+        vecs = self._user_vectorize(profiles)
+        self.store.save_user_vectors([p["user_id"] for p in profiles], vecs)
+        return {"count": len(profiles)}
+
+    def recommend_for_user(self, user_id: str, top_k: int | None = None,
+                           exclude_seen: bool = True) -> dict:
+        vec = self.store.get_user_vector(user_id)
+        if vec is None:
+            return {"error": f"no vector for user {user_id}", "results": []}
+        seen = set()
+        if exclude_seen:
+            hist = self.store.user_histories([user_id]).get(user_id, [])
+            seen = {str(e["product_id"]) for e in hist}
+        k = (top_k or self.cfg.serve.similarity_top_k) + len(seen)
+        ids, scores = self.index.topk(vec[None], k)
+        results = []
+        for i, s in zip(ids[0].tolist(), scores[0].tolist()):
+            pid = self.int_to_pid.get(i)
+            if pid is None or pid in seen:
+                continue
+            results.append({"product_id": pid, "score": round(float(s), 6)})
+        return {"user_id": user_id,
+                "results": results[: top_k or self.cfg.serve.similarity_top_k]}
 
     def similar_items(self, item_id: str, top_k: int | None = None) -> dict:
         vec = self.store.get_vector(item_id)

@@ -16,6 +16,15 @@ contract, not the framework, is the capability):
   POST /ai-api/serving/vectors/process-pending  one idempotent batch (`:422-454`)
   POST /ai-api/serving/vectors/process-by-ids   on-demand (`:459-482`)
 
+User-side symmetry (the reference declares `user_profiles.user_service_vector`
++ a not-vectorized partial index, `database.py:152-173`, but ships no flow
+that populates or queries it — these close that loop with the same
+process-pending / refresh / query contract as products):
+
+  POST /ai-api/serving/users/process-pending            one batch of stale users
+  POST /ai-api/serving/bg/inference/refresh-user-vectors  full regeneration
+  GET  /api/controller/recommendations/{user_id}        top-k for a user vector
+
 The hourly Airflow DAG's loop-until-drained contract is preserved:
 ``process-pending`` returns ``processed_count`` and the caller loops while
 it is > 0 (`airflow/dags/product_pipeline_dag.py:81-83`).
@@ -81,6 +90,17 @@ def _routes(ctx: AppContext):
     def process_by_ids(body, params):
         return ctx.process_by_ids([str(p) for p in body.get("product_ids", [])])
 
+    def process_pending_users(body, params):
+        return ctx.process_pending_users(body.get("batch_size"))
+
+    def refresh_users(body, params):
+        return ctx.refresh_user_vectors()
+
+    def recommendations(body, params):
+        return ctx.recommend_for_user(
+            params["user_id"], int(params.get("top_k", 0)) or None,
+            exclude_seen=params.get("exclude_seen", "1") not in ("0", "false"))
+
     return [
         ("GET", re.compile(r"^/$"), health),
         ("POST", re.compile(r"^/api/controller/products/ingest$"), ingest),
@@ -96,6 +116,12 @@ def _routes(ctx: AppContext):
          process_pending),
         ("POST", re.compile(r"^/ai-api/serving/vectors/process-by-ids$"),
          process_by_ids),
+        ("POST", re.compile(r"^/ai-api/serving/users/process-pending$"),
+         process_pending_users),
+        ("POST", re.compile(r"^/ai-api/serving/bg/inference/refresh-user-vectors$"),
+         refresh_users),
+        ("GET", re.compile(r"^/api/controller/recommendations/(?P<user_id>[^/]+)$"),
+         recommendations),
     ]
 
 

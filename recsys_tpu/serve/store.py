@@ -235,6 +235,12 @@ class ServeStore:
                              int(e.get("action_type", ActionType.CLICK)),
                              e.get("ts", time.time())))
                         n_events += 1
+                    # fresh interactions invalidate the user's service vector
+                    # (same contract as changed product payloads resetting
+                    # `is_vectorized`, reference `controller.py:27-57`)
+                    self._conn.execute(
+                        "UPDATE user_profiles SET is_vectorized=0 WHERE user_id=?",
+                        (str(s["user_id"]),))
                 self._conn.commit()
             except Exception:
                 self._conn.rollback()
@@ -258,6 +264,61 @@ class ServeStore:
                                 "action_type": r["action_type"], "ts": r["ts"]})
         return [s for s in sessions.values()
                 if any(e["action_type"] == ActionType.PURCHASE for e in s["events"])]
+
+    # -- user vectors (the reference stores `user_service_vector` but never
+    # populates it; these flows give the user side full symmetry with the
+    # product vectorize pipeline, `database.py:152-173`) -------------------
+    def user_histories(self, user_ids: list[str] | None = None) -> dict[str, list[dict]]:
+        """Per-user interaction events (product, action, ts) across all
+        sessions, time-ordered — the feed for user vectorization."""
+        sql = ("SELECT s.user_id, e.product_id, e.action_type, e.ts "
+               "FROM user_sessions s JOIN interaction_events e "
+               "ON s.session_id = e.session_id")
+        args: tuple = ()
+        if user_ids is not None:
+            sql += f" WHERE s.user_id IN ({','.join('?' * len(user_ids))})"
+            args = tuple(map(str, user_ids))
+        sql += " ORDER BY e.ts"
+        out: dict[str, list[dict]] = {}
+        for r in self._conn.execute(sql, args).fetchall():
+            out.setdefault(r["user_id"], []).append(
+                {"product_id": r["product_id"],
+                 "action_type": r["action_type"], "ts": r["ts"]})
+        return out
+
+    def pending_users(self, limit: int) -> list[dict]:
+        rows = self._conn.execute(
+            "SELECT user_id, gender, age_group, style FROM user_profiles "
+            "WHERE is_vectorized=0 ORDER BY user_id LIMIT ?", (limit,)).fetchall()
+        return [dict(r) for r in rows]
+
+    def all_user_profiles(self) -> list[dict]:
+        rows = self._conn.execute(
+            "SELECT user_id, gender, age_group, style FROM user_profiles "
+            "ORDER BY user_id").fetchall()
+        return [dict(r) for r in rows]
+
+    def save_user_vectors(self, ids: list[str], vectors: np.ndarray) -> None:
+        with self._lock:
+            for uid, vec in zip(ids, vectors):
+                self._conn.execute(
+                    "UPDATE user_profiles SET user_service_vector=?, "
+                    "is_vectorized=1 WHERE user_id=?",
+                    (np.asarray(vec, np.float32).tobytes(), str(uid)))
+            self._conn.commit()
+
+    def get_user_vector(self, uid: str) -> np.ndarray | None:
+        row = self._conn.execute(
+            "SELECT user_service_vector v FROM user_profiles WHERE user_id=?",
+            (str(uid),)).fetchone()
+        if row is None or row["v"] is None:
+            return None
+        return np.frombuffer(row["v"], np.float32)
+
+    def user_pending_count(self) -> int:
+        return self._conn.execute(
+            "SELECT COUNT(*) c FROM user_profiles WHERE is_vectorized=0"
+        ).fetchone()["c"]
 
     def close(self):
         self._conn.close()
