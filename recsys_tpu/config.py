@@ -121,7 +121,7 @@ class UserTrainConfig:
     plateau_factor: float = 0.5    # ReduceLROnPlateau on Recall@100
     plateau_patience: int = 2
     kernel: str = "auto"           # contrastive kernel: auto | pallas | xla
-    random_cut_prob: float = 0.2   # hybrid-tower sequence augmentation
+    random_cut_prob: float = 0.2   # sequence augmentation (stage-2 + hybrid)
     # main-loss variant (the reference's loss zoo, `v1_refine_usertower.py`):
     # logq (all-time sampled softmax, the run_pipeline default) | hnm |
     # mixed_hnm | margin (full_batch_hard_emphasis)

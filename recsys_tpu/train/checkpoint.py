@@ -6,8 +6,12 @@ loaders (SURVEY.md §5 "Checkpoint / resume"; reference `v1_lightgcl.py:319-335`
 `v1_usertower_train.py:1015-1022`, `v1_evaluate_lightgcl.py:183-234`). Here
 there is one store:
 
-  * every checkpoint = msgpack of the full state pytree (params + optimizer
-    + step + config) via ``flax.serialization`` + a JSON manifest entry;
+  * every checkpoint = the full state pytree (params + optimizer + step +
+    config) + a JSON manifest entry.  Two payload backends behind the same
+    store API: ``msgpack`` (flax.serialization, single file, default) and
+    ``orbax`` (orbax.checkpoint PyTree directories — async-capable,
+    multi-host-safe; pick via the ``backend`` arg or the
+    ``RECSYS_TPU_CKPT_BACKEND`` env var);
   * best/last rotation keyed on a caller-chosen metric (e.g. Recall@100);
   * every artifact that carries per-row semantics (item matrix, GNN tables)
     saves an **id-map sidecar** (`ids.json`) so consumers realign by string
@@ -38,21 +42,77 @@ def _load_manifest(ckpt_dir: str) -> dict:
     return {"checkpoints": [], "best": None}
 
 
+def default_backend() -> str:
+    return os.environ.get("RECSYS_TPU_CKPT_BACKEND", "msgpack")
+
+
 class CheckpointStore:
-    def __init__(self, ckpt_dir: str, keep: int = 3, maximize: bool = True):
+    def __init__(self, ckpt_dir: str, keep: int = 3, maximize: bool = True,
+                 backend: str | None = None):
         self.dir = ckpt_dir
         self.keep = keep
         self.maximize = maximize
+        self.backend = backend or default_backend()
+        if self.backend not in ("msgpack", "orbax"):
+            raise ValueError(f"unknown checkpoint backend {self.backend!r}")
         os.makedirs(ckpt_dir, exist_ok=True)
         self.manifest = _load_manifest(ckpt_dir)
+
+    # -- payload backends -------------------------------------------------
+    def _payload_path(self, name: str) -> str:
+        suffix = ".msgpack" if self.backend == "msgpack" else ".orbax"
+        return os.path.abspath(os.path.join(self.dir, f"{name}{suffix}"))
+
+    def _write_payload(self, path: str, state: Any) -> None:
+        if self.backend == "msgpack":
+            with open(path, "wb") as f:
+                f.write(serialization.to_bytes(state))
+        else:
+            import shutil
+
+            import orbax.checkpoint as ocp
+
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            with ocp.PyTreeCheckpointer() as ckptr:
+                ckptr.save(path, state)
+
+    def _read_payload(self, path: str, target: Any) -> Any:
+        if self.backend == "msgpack":
+            with open(path, "rb") as f:
+                return serialization.from_bytes(target, f.read())
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(os.path.abspath(path))
+        # orbax restores plain nested dicts; re-impose target's structure
+        return serialization.from_state_dict(target, restored)
+
+    def _remove_payload(self, path: str) -> None:
+        if os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path)
+        elif os.path.exists(path):
+            os.remove(path)
+
+    def _copy_payload(self, src: str, dst: str) -> None:
+        if os.path.isdir(src):
+            import shutil
+
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            shutil.copytree(src, dst)
+        else:
+            with open(src, "rb") as s, open(dst, "wb") as d:
+                d.write(s.read())
 
     # -- core save/restore ----------------------------------------------
     def save(self, name: str, state: Any, *, step: int, metric: float | None = None,
              extra: dict | None = None) -> str:
         state = jax.device_get(state)
-        path = os.path.join(self.dir, f"{name}.msgpack")
-        with open(path, "wb") as f:
-            f.write(serialization.to_bytes(state))
+        path = self._payload_path(name)
+        self._write_payload(path, state)
         entry = {"name": name, "path": path, "step": int(step),
                  "metric": None if metric is None else float(metric),
                  "extra": extra or {}}
@@ -66,9 +126,7 @@ class CheckpointStore:
 
     def restore(self, name: str, target: Any) -> Any:
         """Restore into the structure of ``target`` (a template pytree)."""
-        path = os.path.join(self.dir, f"{name}.msgpack")
-        with open(path, "rb") as f:
-            return serialization.from_bytes(target, f.read())
+        return self._read_payload(self._payload_path(name), target)
 
     def restore_best(self, target: Any) -> tuple[Any, dict]:
         best = self.manifest.get("best")
@@ -95,18 +153,16 @@ class CheckpointStore:
             or (entry["metric"] > best["metric"]) == self.maximize
         )
         if better:
-            # copy the file so rotation can't evict the best snapshot
-            best_path = os.path.join(self.dir, "best.msgpack")
-            with open(entry["path"], "rb") as src, open(best_path, "wb") as dst:
-                dst.write(src.read())
+            # copy the payload so rotation can't evict the best snapshot
+            best_path = self._payload_path("best")
+            self._copy_payload(entry["path"], best_path)
             self.manifest["best"] = {**entry, "name": "best", "path": best_path}
 
     def _rotate(self) -> None:
         cks = sorted(self.manifest["checkpoints"], key=lambda c: c["step"])
         while len(cks) > self.keep:
             victim = cks.pop(0)
-            if os.path.exists(victim["path"]):
-                os.remove(victim["path"])
+            self._remove_payload(victim["path"])
         self.manifest["checkpoints"] = cks
 
     def _flush(self) -> None:

@@ -127,7 +127,14 @@ def make_stage2_step(cfg: Config, models, side: np.ndarray, logq: np.ndarray):
             rngs={"dropout": key})
 
     def loss_fn(params, batch, key):
-        k1, k2, kp = jax.random.split(key, 3)
+        k1, k2, kp, kc = jax.random.split(key, 4)
+        if ut.random_cut_prob > 0:
+            # random-cut sequence augmentation on the stage-2 path too
+            # (reference applies it on the hybrid v2 line,
+            # `mined_inference.py:153-163`; same left-pad invariant here)
+            from recsys_tpu.ops.augment import random_cut
+
+            batch = random_cut(batch, kc, ut.random_cut_prob)
         u1 = forward(params, batch, k1)                      # (B, L, D)
         u2 = forward(params, batch, k2)
         B, L, D = u1.shape

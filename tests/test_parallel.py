@@ -84,10 +84,11 @@ def test_rowsharded_lookup_grad(mesh8):
     np.testing.assert_allclose(np.asarray(g), expected)
 
 
-def test_checkpoint_roundtrip(tmp_path):
+@pytest.mark.parametrize("backend", ["msgpack", "orbax"])
+def test_checkpoint_roundtrip(tmp_path, backend):
     from recsys_tpu.train.checkpoint import CheckpointStore
 
-    store = CheckpointStore(str(tmp_path), keep=2)
+    store = CheckpointStore(str(tmp_path), keep=2, backend=backend)
     state = {"w": jnp.ones((3, 3)), "step": 0}
     store.save("ep1", state, step=1, metric=0.5)
     store.save("ep2", {"w": jnp.full((3, 3), 2.0), "step": 2}, step=2, metric=0.9)
