@@ -16,18 +16,23 @@
 // Cosine metric via normalize-on-insert (dot == cosine). C ABI for ctypes.
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <memory>
 #include <mutex>
 #include <queue>
 #include <random>
+#include <thread>
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
 
 namespace {
+
+constexpr int kNumLinkLocks = 4096;  // striped per-node link locks
 
 struct Hnsw {
   int dim = 0;
@@ -44,9 +49,13 @@ struct Hnsw {
   std::vector<std::vector<int>> links;        // per level: n * cap ints
   int entry = -1;
   int max_level = -1;
-  std::vector<uint32_t> visit_mark;
-  uint32_t visit_epoch = 0;
   std::mutex mu;
+  // striped locks guarding neighbor lists during concurrent insert
+  std::unique_ptr<std::mutex[]> link_locks{new std::mutex[kNumLinkLocks]};
+
+  std::mutex& link_lock(int node) {
+    return link_locks[node & (kNumLinkLocks - 1)];
+  }
 
   int cap(int level) const { return level == 0 ? 2 * M : M; }
 
@@ -88,27 +97,47 @@ struct BestFirst {   // max-heap on similarity
   bool operator()(const Cand& a, const Cand& b) const { return a.sim < b.sim; }
 };
 
+// Per-thread scratch for concurrent searches (the index's shared
+// visit_mark would race between inserter threads).
+struct VisitBuf {
+  std::vector<uint32_t> mark;
+  uint32_t epoch = 0;
+  std::vector<int> nb_copy;  // reusable snapshot of a neighbor list
+};
+
 // Beam search on one layer; returns up to ef best candidates.
+// ``locked`` snapshots each neighbor list under its stripe lock — required
+// while other threads may be concurrently rewriting links (parallel insert).
 std::vector<Cand> search_layer(Hnsw* ix, const float* q, int entry, int level,
-                               int ef) {
-  if (ix->visit_mark.size() < ix->ids.size()) ix->visit_mark.resize(ix->ids.size(), 0);
-  uint32_t epoch = ++ix->visit_epoch;
+                               int ef, VisitBuf& vb, bool locked) {
+  if (vb.mark.size() < ix->ids.size()) vb.mark.resize(ix->ids.size(), 0);
+  uint32_t epoch = ++vb.epoch;
   std::priority_queue<Cand, std::vector<Cand>, BestFirst> frontier;
   std::priority_queue<Cand, std::vector<Cand>, WorstFirst> best;  // keep ef
   float e_sim = ix->dot(q, ix->vec(entry));
   frontier.push({e_sim, entry});
   best.push({e_sim, entry});
-  ix->visit_mark[entry] = epoch;
+  vb.mark[entry] = epoch;
+  int cap = ix->cap(level);
+  vb.nb_copy.resize(cap);
   while (!frontier.empty()) {
     Cand c = frontier.top();
     frontier.pop();
     if ((int)best.size() >= ef && c.sim < best.top().sim) break;
-    const int* nb = ix->neighbors(level, c.node);
-    for (int j = 0; j < ix->cap(level); ++j) {
+    const int* nb;
+    if (locked) {
+      std::lock_guard<std::mutex> lk(ix->link_lock(c.node));
+      std::memcpy(vb.nb_copy.data(), ix->neighbors(level, c.node),
+                  sizeof(int) * cap);
+      nb = vb.nb_copy.data();
+    } else {
+      nb = ix->neighbors(level, c.node);
+    }
+    for (int j = 0; j < cap; ++j) {
       int v = nb[j];
       if (v < 0) break;
-      if (ix->visit_mark[v] == epoch) continue;
-      ix->visit_mark[v] = epoch;
+      if (vb.mark[v] == epoch) continue;
+      vb.mark[v] = epoch;
       float s = ix->dot(q, ix->vec(v));
       if ((int)best.size() < ef || s > best.top().sim) {
         frontier.push({s, v});
@@ -155,7 +184,7 @@ std::vector<int> select_neighbors(Hnsw* ix, const std::vector<Cand>& cands,
   return out;
 }
 
-void add_link(Hnsw* ix, int level, int from, int to) {
+void add_link_unlocked(Hnsw* ix, int level, int from, int to) {
   int* nb = ix->neighbors(level, from);
   int cap = ix->cap(level);
   for (int j = 0; j < cap; ++j) {
@@ -174,6 +203,106 @@ void add_link(Hnsw* ix, int level, int from, int to) {
             [](const Cand& a, const Cand& b) { return a.sim > b.sim; });
   std::vector<int> kept = select_neighbors(ix, all, cap);
   for (int j = 0; j < cap; ++j) nb[j] = j < (int)kept.size() ? kept[j] : -1;
+}
+
+void add_link(Hnsw* ix, int level, int from, int to, bool locked) {
+  if (!locked) {
+    add_link_unlocked(ix, level, from, to);
+    return;
+  }
+  std::lock_guard<std::mutex> lk(ix->link_lock(from));
+  add_link_unlocked(ix, level, from, to);
+}
+
+// Allocate a node (data/ids/levels) WITHOUT sizing its link lists — call
+// ensure_links() after a batch of allocations. Caller holds ix->mu.
+// Returns -1 for an overwrite of an existing external id.
+int alloc_node(Hnsw* ix, int64_t ext_id, const float* vec) {
+  auto it = ix->id_to_node.find(ext_id);
+  if (it != ix->id_to_node.end()) {  // overwrite vector, keep links
+    float* dst = ix->data.data() + (size_t)it->second * ix->dim;
+    std::memcpy(dst, vec, sizeof(float) * ix->dim);
+    normalize(dst, ix->dim);
+    return -1;
+  }
+  int node = (int)ix->ids.size();
+  ix->ids.push_back(ext_id);
+  ix->id_to_node[ext_id] = node;
+  ix->data.insert(ix->data.end(), vec, vec + ix->dim);
+  normalize(ix->data.data() + (size_t)node * ix->dim, ix->dim);
+  std::uniform_real_distribution<double> uni(0.0, 1.0);
+  double u = uni(ix->rng);
+  if (u < 1e-12) u = 1e-12;
+  ix->levels.push_back((int)std::floor(-std::log(u) * ix->mult));
+  return node;
+}
+
+void ensure_links(Hnsw* ix) {
+  int max_lv = 0;
+  for (int lv : ix->levels) max_lv = std::max(max_lv, lv);
+  while ((int)ix->links.size() <= max_lv) ix->links.emplace_back();
+  for (int l = 0; l < (int)ix->links.size(); ++l)
+    ix->links[l].resize(ix->ids.size() * (size_t)ix->cap(l), -1);
+}
+
+// Wire a pre-allocated node into the graph (greedy descent + beam insert).
+// ``locked=true`` makes every neighbor-list read/write go through the
+// stripe locks so many threads can insert concurrently.
+void insert_links(Hnsw* ix, int node, VisitBuf& vb, bool locked) {
+  int level = ix->levels[node];
+  int ep, top;
+  {
+    std::unique_lock<std::mutex> lk(ix->mu, std::defer_lock);
+    if (locked) lk.lock();
+    ep = ix->entry;
+    top = ix->max_level;
+  }
+  const float* q = ix->vec(node);
+  // greedy descent through layers above the node's level
+  for (int l = top; l > level; --l) {
+    bool improved = true;
+    float best = ix->dot(q, ix->vec(ep));
+    int cap = ix->cap(l);
+    vb.nb_copy.resize(cap);
+    while (improved) {
+      improved = false;
+      const int* nb;
+      if (locked) {
+        std::lock_guard<std::mutex> lk(ix->link_lock(ep));
+        std::memcpy(vb.nb_copy.data(), ix->neighbors(l, ep), sizeof(int) * cap);
+        nb = vb.nb_copy.data();
+      } else {
+        nb = ix->neighbors(l, ep);
+      }
+      for (int j = 0; j < cap; ++j) {
+        if (nb[j] < 0) break;
+        float s = ix->dot(q, ix->vec(nb[j]));
+        if (s > best) {
+          best = s;
+          ep = nb[j];
+          improved = true;
+        }
+      }
+    }
+  }
+  // beam insert on layers [min(level, top) .. 0]
+  for (int l = std::min(level, top); l >= 0; --l) {
+    auto cands = search_layer(ix, q, ep, l, ix->ef_construction, vb, locked);
+    std::vector<int> sel = select_neighbors(ix, cands, ix->M);
+    for (int nb : sel) {
+      add_link(ix, l, node, nb, locked);
+      add_link(ix, l, nb, node, locked);
+    }
+    if (!cands.empty()) ep = cands[0].node;
+  }
+  if (level > top) {
+    std::unique_lock<std::mutex> lk(ix->mu, std::defer_lock);
+    if (locked) lk.lock();
+    if (level > ix->max_level) {
+      ix->max_level = level;
+      ix->entry = node;
+    }
+  }
 }
 
 }  // namespace
@@ -197,72 +326,63 @@ int hnsw_dim(void* h) { return static_cast<Hnsw*>(h)->dim; }
 void hnsw_add(void* h, const int64_t* ext_ids, const float* vecs, int64_t n) {
   auto* ix = static_cast<Hnsw*>(h);
   std::lock_guard<std::mutex> lock(ix->mu);
-  std::uniform_real_distribution<double> uni(0.0, 1.0);
+  VisitBuf vb;
   for (int64_t i = 0; i < n; ++i) {
-    auto it = ix->id_to_node.find(ext_ids[i]);
-    if (it != ix->id_to_node.end()) {  // overwrite vector, keep links
-      float* dst = ix->data.data() + (size_t)it->second * ix->dim;
-      std::memcpy(dst, vecs + i * ix->dim, sizeof(float) * ix->dim);
-      normalize(dst, ix->dim);
-      continue;
-    }
-    int node = (int)ix->ids.size();
-    ix->ids.push_back(ext_ids[i]);
-    ix->id_to_node[ext_ids[i]] = node;
-    ix->data.insert(ix->data.end(), vecs + i * ix->dim, vecs + (i + 1) * ix->dim);
-    normalize(ix->data.data() + (size_t)node * ix->dim, ix->dim);
-
-    double u = uni(ix->rng);
-    if (u < 1e-12) u = 1e-12;
-    int level = (int)std::floor(-std::log(u) * ix->mult);
-    ix->levels.push_back(level);
-    while ((int)ix->links.size() <= level) ix->links.emplace_back();
-    for (int l = 0; l <= level; ++l)
-      ix->links[l].resize(((size_t)node + 1) * ix->cap(l), -1);
-    for (int l = 0; l < (int)ix->links.size(); ++l)
-      if ((int64_t)ix->links[l].size() < ((int64_t)node + 1) * ix->cap(l))
-        ix->links[l].resize(((size_t)node + 1) * ix->cap(l), -1);
-
+    int node = alloc_node(ix, ext_ids[i], vecs + i * ix->dim);
+    if (node < 0) continue;  // overwrite
+    ensure_links(ix);
     if (ix->entry < 0) {
       ix->entry = node;
-      ix->max_level = level;
+      ix->max_level = ix->levels[node];
       continue;
     }
-    const float* q = ix->vec(node);
-    int ep = ix->entry;
-    // greedy descent through layers above the node's level
-    for (int l = ix->max_level; l > level; --l) {
-      bool improved = true;
-      float best = ix->dot(q, ix->vec(ep));
-      while (improved) {
-        improved = false;
-        const int* nb = ix->neighbors(l, ep);
-        for (int j = 0; j < ix->cap(l); ++j) {
-          if (nb[j] < 0) break;
-          float s = ix->dot(q, ix->vec(nb[j]));
-          if (s > best) {
-            best = s;
-            ep = nb[j];
-            improved = true;
-          }
-        }
-      }
+    insert_links(ix, node, vb, /*locked=*/false);
+  }
+}
+
+// Concurrent batch insert (hnswlib-style): allocate every node up front
+// under the global lock (so no vector reallocates during the parallel
+// phase), then wire links from ``num_threads`` workers with striped
+// per-node link locks and per-thread visit buffers. The reference's
+// pgvector HNSW builds single-threaded inside Postgres; this is the
+// serving-side answer to the "~30 s at 47k items" build-time bottleneck.
+void hnsw_add_parallel(void* h, const int64_t* ext_ids, const float* vecs,
+                       int64_t n, int num_threads) {
+  auto* ix = static_cast<Hnsw*>(h);
+  if (num_threads <= 1 || n < 64) {
+    hnsw_add(h, ext_ids, vecs, n);
+    return;
+  }
+  std::vector<int> nodes;
+  nodes.reserve(n);
+  {
+    std::lock_guard<std::mutex> lock(ix->mu);
+    for (int64_t i = 0; i < n; ++i) {
+      int node = alloc_node(ix, ext_ids[i], vecs + i * ix->dim);
+      if (node >= 0) nodes.push_back(node);
     }
-    // beam insert on layers [min(level, max_level) .. 0]
-    for (int l = std::min(level, ix->max_level); l >= 0; --l) {
-      auto cands = search_layer(ix, q, ep, l, ix->ef_construction);
-      std::vector<int> sel = select_neighbors(ix, cands, ix->M);
-      for (int nb : sel) {
-        add_link(ix, l, node, nb);
-        add_link(ix, l, nb, node);
-      }
-      if (!cands.empty()) ep = cands[0].node;
-    }
-    if (level > ix->max_level) {
-      ix->max_level = level;
-      ix->entry = node;
+    ensure_links(ix);
+    if (ix->entry < 0 && !nodes.empty()) {
+      // seed the graph with the first node; it gets linked by its peers
+      ix->entry = nodes.front();
+      ix->max_level = ix->levels[nodes.front()];
+      nodes.erase(nodes.begin());
     }
   }
+  std::atomic<size_t> next{0};
+  auto worker = [&]() {
+    VisitBuf vb;
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= nodes.size()) break;
+      insert_links(ix, nodes[i], vb, /*locked=*/true);
+    }
+  };
+  int t = std::min<int64_t>(num_threads, (int64_t)nodes.size());
+  std::vector<std::thread> pool;
+  pool.reserve(t);
+  for (int i = 0; i < t; ++i) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
 }
 
 // Batch top-k: queries (m, dim) -> ids/scores (m, k), -1 padded.
@@ -270,6 +390,7 @@ void hnsw_topk(void* h, const float* queries, int64_t m, int k, int ef_search,
                int64_t* out_ids, float* out_scores) {
   auto* ix = static_cast<Hnsw*>(h);
   if (ef_search < k) ef_search = k;
+  VisitBuf vb;
   for (int64_t qi = 0; qi < m; ++qi) {
     std::vector<float> q(queries + qi * ix->dim, queries + (qi + 1) * ix->dim);
     normalize(q.data(), ix->dim);
@@ -298,7 +419,8 @@ void hnsw_topk(void* h, const float* queries, int64_t m, int k, int ef_search,
         }
       }
     }
-    auto cands = search_layer(ix, q.data(), ep, 0, ef_search);
+    auto cands = search_layer(ix, q.data(), ep, 0, ef_search, vb,
+                              /*locked=*/false);
     int got = std::min((int)cands.size(), k);
     for (int j = 0; j < got; ++j) {
       ids[j] = ix->ids[cands[j].node];

@@ -52,6 +52,7 @@ class SpmmMeta:
     block_n: int
     chunk_e: int
     num_chunks: int
+    pack: int = 1             # 1 = plain; 2 = two half-blocks share the lanes
 
 
 class BlockedGraph:
@@ -76,7 +77,7 @@ class BlockedGraph:
 
 def block_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
                 num_nodes: int, block_n: int = 1024,
-                chunk_e: int = 1024) -> BlockedGraph:
+                chunk_e: int = 1024, pack: int = 1) -> BlockedGraph:
     assert chunk_e % 128 == 0 and chunk_e // 128 >= 8, \
         "chunk_e must be a multiple of 128 with >=8 sublanes (TPU tiling)"
     """Vectorized host-side chunking. ``weight==0`` edges (upstream
@@ -141,7 +142,8 @@ def block_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
         src_local, dst_local, w = src_local[order2], dst_local[order2], w[order2]
         C += pad
 
-    meta = SpmmMeta(n_pad, num_nodes, block_n, chunk_e, C)
+    assert pack in (1, 2)
+    meta = SpmmMeta(n_pad, num_nodes, block_n, chunk_e, C, pack)
     return BlockedGraph(meta, chunk_sb, chunk_db, src_local, dst_local, w)
 
 
@@ -179,14 +181,106 @@ def _spmm_kernel(sb_ref, db_ref, x_ref, sl_ref, dl_ref, w_ref, out_ref,
     out_ref[:] += acc
 
 
+def _spmm_kernel_packed(sb_ref, db_ref, x_ref, sl_ref, dl_ref, w_ref, out_ref,
+                        *, block_n, chunk_e, feat, acc_dtype, interpret):
+    """pack=2 variant: a block of ``block_n`` nodes is stored as
+    (block_n/2, 2*feat) — two half-blocks side by side in the 128 lanes.
+
+    With feat=64 (the LightGCL dim) this fills all 128 MXU lanes AND halves
+    the one-hot contraction length, so the same node reach costs half the
+    per-edge FLOPs of the plain kernel.  Cross-half edges are fixed up with
+    a circular lane roll (the wrong half is zero, so roll == swap).
+    """
+    c = pl.program_id(0)
+    prev_db = db_ref[jnp.maximum(c - 1, 0)]
+    is_new = (c == 0) | (prev_db != db_ref[c])
+
+    @pl.when(is_new)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    Br = block_n // 2
+    roll = jnp.roll if interpret else pltpu.roll
+    xb = x_ref[:].astype(acc_dtype)                            # (Br, 2F)
+    lanes_b = jax.lax.broadcasted_iota(jnp.int32, (128, Br), 1)
+    rows_b = jax.lax.broadcasted_iota(jnp.int32, (Br, 128), 0)
+    lane_hi = (jax.lax.broadcasted_iota(jnp.int32, (1, 2 * feat), 1)
+               >= feat).astype(jnp.int32)
+    acc = jnp.zeros_like(out_ref)
+    for j in range(chunk_e // 128):
+        sl = sl_ref[0, j, :]                                   # (128,)
+        dl = dl_ref[0, j, :]
+        w = w_ref[0, j, :]
+        # Mosaic can't insert a minor dim on i1 vectors — keep the half
+        # flags as i32 and do the comparisons in 2-D
+        s_hi = (sl >= Br).astype(jnp.int32)
+        d_hi = (dl >= Br).astype(jnp.int32)
+        s_row = sl - s_hi * Br
+        d_row = dl - d_hi * Br
+        onehot_s = (s_row[:, None] == lanes_b).astype(acc_dtype)  # (128, Br)
+        msgs = jax.lax.dot_general(
+            onehot_s, xb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (128, 2F)
+        keep = lane_hi == s_hi[:, None]
+        msgs = jnp.where(keep, msgs, 0.0) * w[:, None]
+        swapped = roll(msgs, feat, axis=1)
+        msgs = jnp.where((s_hi ^ d_hi)[:, None] == 1, swapped, msgs)
+        onehot_dT = (d_row[None, :] == rows_b).astype(acc_dtype)  # (Br, 128)
+        acc = acc + jax.lax.dot_general(
+            onehot_dT, msgs.astype(acc_dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (Br, 2F)
+    out_ref[:] += acc
+
+
+def _pack2(x_pad: jnp.ndarray, block_n: int) -> jnp.ndarray:
+    n, D = x_pad.shape
+    nb, Br = n // block_n, block_n // 2
+    return (x_pad.reshape(nb, 2, Br, D).transpose(0, 2, 1, 3)
+            .reshape(nb * Br, 2 * D))
+
+
+def _unpack2(y: jnp.ndarray, block_n: int) -> jnp.ndarray:
+    nBr, D2 = y.shape
+    Br, D = block_n // 2, D2 // 2
+    nb = nBr // Br
+    return (y.reshape(nb, Br, 2, D).transpose(0, 2, 1, 3)
+            .reshape(nb * block_n, D))
+
+
 def _spmm_call(meta: SpmmMeta, arrays: dict, x: jnp.ndarray,
                precision: str) -> jnp.ndarray:
     Bn, Ec, C, n = meta.block_n, meta.chunk_e, meta.num_chunks, meta.num_nodes
     D = x.shape[1]
     x_pad = x if x.shape[0] == n else jnp.pad(x, ((0, n - x.shape[0]), (0, 0)))
     acc_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
-
     sub = Ec // 128
+
+    if meta.pack == 2:
+        assert D <= 64, "pack=2 needs feat <= 64 (two halves share 128 lanes)"
+        Br = Bn // 2
+        xp = _pack2(x_pad.astype(jnp.float32), Bn)             # (n/2, 2D)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(C,),
+            in_specs=[
+                pl.BlockSpec((Br, 2 * D), lambda c, sb, db: (sb[c], 0)),
+                pl.BlockSpec((1, sub, 128), lambda c, sb, db: (c, 0, 0)),
+                pl.BlockSpec((1, sub, 128), lambda c, sb, db: (c, 0, 0)),
+                pl.BlockSpec((1, sub, 128), lambda c, sb, db: (c, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((Br, 2 * D), lambda c, sb, db: (db[c], 0)),
+        )
+        out = pl.pallas_call(
+            functools.partial(_spmm_kernel_packed, block_n=Bn, chunk_e=Ec,
+                              feat=D, acc_dtype=acc_dtype,
+                              interpret=_interpret()),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n // 2, 2 * D), jnp.float32),
+            interpret=_interpret(),
+        )(arrays["sb"], arrays["db"], xp,
+          arrays["sl"], arrays["dl"], arrays["w"])
+        return _unpack2(out, Bn)[: x.shape[0]]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(C,),

@@ -206,6 +206,9 @@ def _load_hnsw():
     lib.hnsw_dim.restype = ctypes.c_int
     lib.hnsw_add.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
                              ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+    lib.hnsw_add_parallel.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int]
     lib.hnsw_topk.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
                               ctypes.c_int64, ctypes.c_int, ctypes.c_int,
                               ctypes.POINTER(ctypes.c_int64),
@@ -237,13 +240,24 @@ class HnswIndex:
         self._h = _handle if _handle is not None else \
             self._lib.hnsw_create(dim, m, ef_construction, seed)
 
-    def add(self, ids: Sequence[int], vecs: np.ndarray) -> None:
+    def add(self, ids: Sequence[int], vecs: np.ndarray,
+            num_threads: int | None = None) -> None:
+        """Insert/overwrite a batch. Large batches build concurrently
+        (pgvector's HNSW build is single-threaded inside Postgres; this is
+        the serving-side fix for the ~30 s cold build at 47k items)."""
         vecs = np.ascontiguousarray(vecs, np.float32)
         ids_arr = np.ascontiguousarray(ids, np.int64)
         assert vecs.shape == (len(ids_arr), self.dim)
-        self._lib.hnsw_add(
+        if num_threads is None:
+            # parallel build pays off on >=4 real cores; on tiny hosts the
+            # striped-lock overhead beats the parallelism (measured: 2-vCPU
+            # box builds 47k items in 27.7s serial vs 38.2s with 2 threads)
+            cpus = os.cpu_count() or 1
+            num_threads = min(cpus, 8) if cpus >= 4 and len(ids_arr) >= 4096 else 1
+        self._lib.hnsw_add_parallel(
             self._h, ids_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            vecs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(ids_arr))
+            vecs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(ids_arr),
+            int(num_threads))
 
     def __len__(self) -> int:
         return int(self._lib.hnsw_size(self._h))

@@ -200,6 +200,42 @@ def test_hnsw_index_recall_on_clustered_embeddings():
     assert (ids2 >= 0).all()
 
 
+def test_hnsw_parallel_build_matches_serial_quality():
+    """Concurrent insert (striped link locks) must keep graph quality: both
+    builds recover >95% of exact top-20, and parallel adds stay queryable
+    mid-stream (upserts + later batches)."""
+    from recsys_tpu.serve.ann import HnswIndex
+
+    rng = np.random.default_rng(7)
+    N, D = 6000, 64
+    centers = rng.normal(size=(60, D)).astype(np.float32) * 2
+    vecs = (centers[rng.integers(0, 60, N)]
+            + rng.normal(size=(N, D))).astype(np.float32)
+    q = (centers[rng.integers(0, 60, 50)]
+         + rng.normal(size=(50, D))).astype(np.float32)
+    ex = VectorIndex(D)
+    ex.add(np.arange(N), vecs)
+    e_ids, _ = ex.topk(q, 20)
+
+    def recall(ix):
+        h_ids, _ = ix.topk(q, 20)
+        return np.mean([len(set(h_ids[i]) & set(e_ids[i])) / 20
+                        for i in range(len(q))])
+
+    serial = HnswIndex(D)
+    serial.add(np.arange(N), vecs, num_threads=1)
+    parallel = HnswIndex(D)
+    parallel.add(np.arange(N // 2), vecs[: N // 2], num_threads=8)
+    parallel.add(np.arange(N // 2, N), vecs[N // 2:], num_threads=8)
+    assert len(parallel) == N
+    r_serial, r_parallel = recall(serial), recall(parallel)
+    assert r_serial > 0.95
+    assert r_parallel > 0.95
+    # upsert after parallel build keeps the graph intact
+    parallel.add(np.arange(32), vecs[32:64], num_threads=4)
+    assert len(parallel) == N
+
+
 def test_app_context_hnsw_backend():
     from recsys_tpu.config import Config, ServeConfig
     from recsys_tpu.serve.ann import HnswIndex

@@ -18,25 +18,40 @@ def graph():
     return build_graph(e[:, 0], e[:, 1], nu, ni, svd_rank=3, pad_multiple=128)
 
 
-def test_spmm_forward_parity(graph):
+@pytest.mark.parametrize("pack", [1, 2])
+def test_spmm_forward_parity(graph, pack):
     n = graph.num_nodes
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(n, 64)).astype(np.float32))
     ref = propagate(x, jnp.asarray(graph.src), jnp.asarray(graph.dst),
                     jnp.asarray(graph.weight), n)
     blocked = block_graph(graph.src, graph.dst, graph.weight, n,
-                          block_n=256, chunk_e=1024)
+                          block_n=256, chunk_e=1024, pack=pack)
     got = spmm(blocked.meta, blocked.device_arrays(), x, "f32")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
-def test_spmm_grad_is_symmetric_propagation(graph):
+def test_spmm_packed_narrow_features(graph):
+    """pack=2 with feat < 64 (lanes only partially used) stays exact."""
+    n = graph.num_nodes
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(n, 32)).astype(np.float32))
+    ref = propagate(x, jnp.asarray(graph.src), jnp.asarray(graph.dst),
+                    jnp.asarray(graph.weight), n)
+    blocked = block_graph(graph.src, graph.dst, graph.weight, n,
+                          block_n=512, chunk_e=1024, pack=2)
+    got = spmm(blocked.meta, blocked.device_arrays(), x, "f32")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("pack", [1, 2])
+def test_spmm_grad_is_symmetric_propagation(graph, pack):
     n = graph.num_nodes
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.normal(size=(n, 64)).astype(np.float32))
     g = jnp.asarray(rng.normal(size=(n, 64)).astype(np.float32))
     blocked = block_graph(graph.src, graph.dst, graph.weight, n,
-                          block_n=256, chunk_e=1024)
+                          block_n=256, chunk_e=1024, pack=pack)
     arrays = blocked.device_arrays()
     dx = jax.grad(lambda xx: jnp.sum(spmm(blocked.meta, arrays, xx, "f32") * g))(x)
     dx_ref = propagate(g, jnp.asarray(graph.src), jnp.asarray(graph.dst),
