@@ -70,9 +70,20 @@ def hash_vectorizer(dim: int = 128) -> Callable[[list[TrainingItem]], np.ndarray
     return fn
 
 
+def _bucket(n: int, lo: int = 8) -> int:
+    """Round a ragged serving batch up to a power-of-2 bucket so the jitted
+    encoder compiles once per bucket instead of once per request size."""
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
 def model_vectorizer(cfg: Config, params) -> Callable[[list[TrainingItem]], np.ndarray]:
     """The real encoder-backed vectorizer: DB rows -> item tensors -> TPU
-    batch inference (the live path of `generate_and_save_item_vectors`)."""
+    batch inference (the live path of `generate_and_save_item_vectors`).
+    Inputs are padded to power-of-2 buckets (ragged request sizes would
+    otherwise trigger one XLA compile per distinct size)."""
     import jax
     import pandas as pd
 
@@ -100,12 +111,17 @@ def model_vectorizer(cfg: Config, params) -> Callable[[list[TrainingItem]], np.n
             rows.append(row)
         tensors = tokenize_items(pd.DataFrame(rows), vocab, cfg.vocab)
         b = slice_item_batch(tensors, np.arange(len(rows)))
-        out = encode(params, b["std"], b["re_ids"], b["re_mask"],
-                     b["txt_ids"], b["txt_mask"])
+        n = len(rows)
+        pad = _bucket(n) - n
+        if pad:
+            b = {k: np.concatenate([v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+                 for k, v in b.items()}
+        out = np.asarray(encode(params, b["std"], b["re_ids"], b["re_mask"],
+                                b["txt_ids"], b["txt_mask"]))[:n]
         # tokenize_items sorts by id; restore the caller's order
         order = {pid: i for i, pid in enumerate(tensors["item_ids"])}
         idx = [order[it.product_id] for it in items]
-        return np.asarray(out)[idx]
+        return out[idx]
 
     return fn
 
@@ -174,7 +190,7 @@ def tower_user_vectorizer(ctx: "AppContext", cfg: Config, params,
     def fn(profiles: list[dict]) -> np.ndarray:
         ids = [p["user_id"] for p in profiles]
         hists = ctx.store.user_histories(ids)
-        B = len(profiles)
+        B = _bucket(len(profiles))  # pad to a compile bucket
         batch = {
             "input_ids": np.zeros((B, L), np.int32),
             "target_ids": np.zeros((B, L), np.int32),
@@ -198,7 +214,7 @@ def tower_user_vectorizer(ctx: "AppContext", cfg: Config, params,
             batch["time_buckets"][r, L - k:] = np.digitize(
                 days, TIME_BUCKET_EDGES[1:])
             batch["seq_mask"][r, L - k:] = 1
-        return np.asarray(user_vectors(params, batch))
+        return np.asarray(user_vectors(params, batch))[: len(profiles)]
 
     return fn
 
