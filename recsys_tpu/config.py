@@ -148,6 +148,9 @@ class GNNConfig:
     propagation: str = "auto"      # auto | spmm | segment_sum
     spmm_block_n: int = 1024
     spmm_chunk_e: int = 1024
+    # 2 = two half-blocks share the 128 lanes (full MXU utilization at
+    # emb_dim <= 64, half the per-edge one-hot FLOPs; measured 1.7x)
+    spmm_pack: int = 2
 
 
 @dataclass(frozen=True)

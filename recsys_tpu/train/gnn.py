@@ -83,8 +83,10 @@ def select_propagation(cfg: GNNConfig, graph: BipartiteGraph, num_nodes: int):
     if mode == "spmm":
         from recsys_tpu.ops.pallas_spmm import block_graph, spmm
 
+        pack = cfg.spmm_pack if cfg.emb_dim <= 64 else 1
         blocked = block_graph(graph.src, graph.dst, graph.weight, num_nodes,
-                              block_n=cfg.spmm_block_n, chunk_e=cfg.spmm_chunk_e)
+                              block_n=cfg.spmm_block_n, chunk_e=cfg.spmm_chunk_e,
+                              pack=pack)
         arrays = {k: jax.device_put(v) for k, v in blocked.device_arrays().items()}
         meta = blocked.meta
         return (lambda args, x: spmm(meta, args, x, "bf16")), arrays
