@@ -177,6 +177,10 @@ class RerankerConfig:
     epochs: int = 30
     batch_size: int = 2048
     neg_per_pos: int = 5           # 1:5 negative sampling (`utils/monitor/log_importer.py`)
+    # negatives: "candidates" samples from the tower's own top-k (train
+    # matches the serve-time rerank distribution); "uniform" = reference
+    negative_source: str = "candidates"
+    candidate_top_k: int = 100
 
 
 @dataclass(frozen=True)

@@ -87,3 +87,50 @@ def import_interactions(tx_df, num_items: int, item_map, rng: np.random.Generato
             users.append(uid); items.append(int(n)); labels.append(0); groups.append(g)
     return (np.array(users), np.array(items, np.int32),
             np.array(labels, np.int32), np.array(groups, np.int32))
+
+
+def import_interactions_candidates(tx_df, user_vecs: dict, item_matrix: np.ndarray,
+                                   item_map, rng: np.random.Generator,
+                                   neg_per_pos: int = 5, top_k: int = 100):
+    """Candidate-conditioned ranker data: negatives sampled from the
+    retrieval tower's OWN top-k for each user instead of uniformly.
+
+    A reranker only ever scores tower candidates at serve time
+    (`ReRankingSystem`, reference `temp_model/ranker_skelet.py:155-237`
+    retrieves top-100 then reranks); uniform negatives make its AUC look
+    great against items the tower would never surface. Sampling hard
+    in-candidate negatives aligns train and serve distributions so AUC
+    reflects actual rerank value.
+    """
+    users_u = [u for u in dict.fromkeys(tx_df["user_id"]) if u in user_vecs]
+    if not users_u:
+        return (np.array([]), np.array([], np.int32),
+                np.array([], np.int32), np.array([], np.int32))
+    U = np.stack([user_vecs[u] for u in users_u])          # (U, D)
+    scores = U @ item_matrix[1:].T                         # skip PAD row 0
+    k = min(top_k, scores.shape[1])
+    cand = np.argpartition(-scores, k - 1, axis=1)[:, :k] + 1  # 1-based idx
+    cand_of = {u: cand[r] for r, u in enumerate(users_u)}
+    bought: dict = {}
+    for uid, iid in zip(tx_df["user_id"], tx_df["item_id"]):
+        bought.setdefault(uid, set()).add(item_map.idx(iid))
+
+    users, items, labels, groups = [], [], [], []
+    g = 0
+    for uid, iid in zip(tx_df["user_id"], tx_df["item_id"]):
+        pos = item_map.idx(iid)
+        if pos == 0 or uid not in cand_of:
+            continue
+        pool = cand_of[uid]
+        own = bought[uid]
+        negs = [c for c in pool if c not in own]
+        if len(negs) < neg_per_pos:  # tower candidates exhausted by history
+            continue
+        pick = rng.choice(len(negs), size=neg_per_pos, replace=False)
+        users.append(uid); items.append(pos); labels.append(1); groups.append(g)
+        for j in pick:
+            users.append(uid); items.append(int(negs[j]))
+            labels.append(0); groups.append(g)
+        g += 1
+    return (np.array(users), np.array(items, np.int32),
+            np.array(labels, np.int32), np.array(groups, np.int32))

@@ -233,14 +233,22 @@ def cmd_train_reranker(cfg: Config, args) -> dict:
     mat, ids, _ = load_array_with_ids(p["item_matrix"])
     item_map = IdMap(ids[1:])
     rng = np.random.default_rng(cfg.data.seed)
-    uids, iidx, labels, groups = import_interactions(
-        train_tx.tail(20000), len(item_map), item_map, rng, cfg.reranker.neg_per_pos)
     # user vector = mean of purchased item vectors (two-tower stand-in when
     # the user tower hasn't been trained yet)
     uvecs = {}
     for uid, g in train_tx.groupby("user_id"):
         rows = [item_map.idx(i) for i in g["item_id"]]
         uvecs[uid] = mat[[r for r in rows if r > 0]].mean(0) if rows else mat[0]
+    if cfg.reranker.negative_source == "candidates":
+        from recsys_tpu.data.ranker_features import import_interactions_candidates
+
+        uids, iidx, labels, groups = import_interactions_candidates(
+            train_tx.tail(20000), uvecs, mat, item_map, rng,
+            cfg.reranker.neg_per_pos, cfg.reranker.candidate_top_k)
+    else:
+        uids, iidx, labels, groups = import_interactions(
+            train_tx.tail(20000), len(item_map), item_map, rng,
+            cfg.reranker.neg_per_pos)
     ifeats = pd.read_parquet(p["item_feats"]).set_index("item_id")
     pop = np.zeros(len(mat), np.float32)
     price = np.zeros(len(mat), np.float32)
@@ -261,7 +269,9 @@ def cmd_train_reranker(cfg: Config, args) -> dict:
     _, _, predict = train_dcn(cfg, X[:split], y[:split])
     dcn_auc = auc_score(y[split:], predict(X[split:]))
     gbdt.save(f"{p['root']}/reranker_gbdt.pkl")
-    return {"gbdt_auc": round(gbdt_auc, 4), "dcn_auc": round(dcn_auc, 4)}
+    return {"gbdt_auc": round(gbdt_auc, 4), "dcn_auc": round(dcn_auc, 4),
+            "negative_source": cfg.reranker.negative_source,
+            "examples": int(len(y))}
 
 
 def cmd_eval(cfg: Config, args) -> dict:

@@ -104,6 +104,40 @@ def test_import_interactions_ratio():
     assert (np.bincount(groups) == 6).all()
 
 
+def test_import_interactions_candidates_matches_serve_distribution():
+    """Candidate-conditioned negatives: every negative must come from the
+    tower's own top-k for that user, never from the user's purchases."""
+    import pandas as pd
+    from recsys_tpu.data.dataset import IdMap
+    from recsys_tpu.data.ranker_features import import_interactions_candidates
+
+    rng = np.random.default_rng(0)
+    N, D = 50, 16
+    item_matrix = np.concatenate(
+        [np.zeros((1, D), np.float32),
+         rng.normal(size=(N, D)).astype(np.float32)])
+    m = IdMap([f"i{j}" for j in range(N)])
+    # u1 aligned with items 0..9, u2 with items 20..29
+    user_vecs = {"u1": item_matrix[1:11].mean(0), "u2": item_matrix[20:30].mean(0)}
+    tx = pd.DataFrame({"user_id": ["u1", "u1", "u2"],
+                       "item_id": ["i0", "i1", "i20"]})
+    users, items, labels, groups = import_interactions_candidates(
+        tx, user_vecs, item_matrix, m, rng, neg_per_pos=3, top_k=15)
+    assert labels.sum() == 3  # one positive per purchase
+    assert (np.bincount(groups) == 4).all()
+    # negatives ⊂ that user's top-15 candidates, excluding own purchases
+    for uid, vec in user_vecs.items():
+        scores = vec @ item_matrix[1:].T
+        top = set((np.argsort(-scores)[:15] + 1).tolist())
+        own = {m.idx(i) for u, i in zip(tx["user_id"], tx["item_id"]) if u == uid}
+        negs = items[(users == uid) & (labels == 0)]
+        assert set(negs.tolist()) <= top - own
+    # a user with no vector contributes nothing
+    tx2 = pd.DataFrame({"user_id": ["ghost"], "item_id": ["i0"]})
+    out = import_interactions_candidates(tx2, user_vecs, item_matrix, m, rng)
+    assert len(out[0]) == 0
+
+
 def test_rerank_system_end_to_end():
     rng = np.random.default_rng(3)
     N, D = 50, 16
