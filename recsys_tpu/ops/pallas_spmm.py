@@ -255,10 +255,14 @@ def _spmm_call(meta: SpmmMeta, arrays: dict, x: jnp.ndarray,
     acc_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     sub = Ec // 128
 
+    # ship x in the accumulate dtype: halves the per-chunk slab DMA in bf16
+    # mode (the kernel casts to acc_dtype anyway)
+    x_dtype = acc_dtype
+
     if meta.pack == 2:
         assert D <= 64, "pack=2 needs feat <= 64 (two halves share 128 lanes)"
         Br = Bn // 2
-        xp = _pack2(x_pad.astype(jnp.float32), Bn)             # (n/2, 2D)
+        xp = _pack2(x_pad.astype(x_dtype), Bn)                 # (n/2, 2D)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(C,),
@@ -298,7 +302,7 @@ def _spmm_call(meta: SpmmMeta, arrays: dict, x: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, D), jnp.float32),
         interpret=_interpret(),
-    )(arrays["sb"], arrays["db"], x_pad.astype(jnp.float32),
+    )(arrays["sb"], arrays["db"], x_pad.astype(x_dtype),
       arrays["sl"], arrays["dl"], arrays["w"])
     return out[: x.shape[0]]
 
