@@ -392,6 +392,37 @@ def cmd_serve(cfg: Config, args) -> dict:
             pass
         vec = model_vectorizer(cfg, params)
     ctx = build_app_context(cfg, vec)
+    if getattr(args, "model_backed", False):
+        # user-side symmetry: attach the trained SASRec tower as the user
+        # vectorizer when a stage-2 checkpoint exists (falls back to the
+        # history-mean backend otherwise)
+        try:
+            import jax
+            from recsys_tpu.serve.app import tower_user_vectorizer
+            from recsys_tpu.train.checkpoint import CheckpointStore
+            from recsys_tpu.train.sasrec import (
+                _slice, init_stage2_params, make_stage2_optimizer, prepare_stage2)
+            from recsys_tpu.train.state import TrainState
+
+            items, users, tx = _load_world(cfg)
+            data = prepare_stage2(cfg, items, users, tx)
+            tensors = data["tensors"]
+            n = tensors["input_ids"].shape[0]
+            bs = min(cfg.user_train.batch_size, max(n - n % 8, 8))
+            sample = _slice(tensors, np.arange(min(bs, n)))
+            u_params, _ = init_stage2_params(
+                cfg, len(data["item_map"]) + 1, None, jax.random.PRNGKey(0),
+                sample)
+            tmpl = TrainState.create(u_params, make_stage2_optimizer(
+                cfg, u_params, max(n // bs, 1)))
+            restored, _e = CheckpointStore(p["user_ckpts"], maximize=True) \
+                .restore_best(tmpl)
+            ctx.user_vectorize_fn = tower_user_vectorizer(
+                ctx, cfg, restored.params,
+                ["<pad>"] + list(data["item_map"].ids), data["side"])
+            print("user vectorizer: stage-2 tower (best checkpoint)")
+        except FileNotFoundError:
+            print("user vectorizer: history mean (no stage-2 checkpoint)")
     # store-backed training triggers (the /train/* endpoints)
     from recsys_tpu.serve.train_glue import make_item_trainer, make_user_trainer
     p = _paths(cfg)
