@@ -202,6 +202,8 @@ def users_from_hm(path: str, *, chunk_rows: int = 100_000) -> pd.DataFrame:
             a = float(a)
         except (TypeError, ValueError):
             return "25-34"
+        if a != a:  # NaN age (parquet/NA inputs) -> default band, not 50+
+            return "25-34"
         for hi, name in _AGE_BANDS:
             if a < hi:
                 return name

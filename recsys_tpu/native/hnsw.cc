@@ -237,10 +237,11 @@ int alloc_node(Hnsw* ix, int64_t ext_id, const float* vec) {
   return node;
 }
 
-void ensure_links(Hnsw* ix) {
-  int max_lv = 0;
-  for (int lv : ix->levels) max_lv = std::max(max_lv, lv);
-  while ((int)ix->links.size() <= max_lv) ix->links.emplace_back();
+// Grow the per-level flat link arrays to the current node count.
+// ``max_new_level`` = highest level among the just-allocated nodes (avoids
+// an O(n) rescan of all node levels per insert).
+void ensure_links(Hnsw* ix, int max_new_level) {
+  while ((int)ix->links.size() <= max_new_level) ix->links.emplace_back();
   for (int l = 0; l < (int)ix->links.size(); ++l)
     ix->links[l].resize(ix->ids.size() * (size_t)ix->cap(l), -1);
 }
@@ -330,7 +331,7 @@ void hnsw_add(void* h, const int64_t* ext_ids, const float* vecs, int64_t n) {
   for (int64_t i = 0; i < n; ++i) {
     int node = alloc_node(ix, ext_ids[i], vecs + i * ix->dim);
     if (node < 0) continue;  // overwrite
-    ensure_links(ix);
+    ensure_links(ix, ix->levels[node]);
     if (ix->entry < 0) {
       ix->entry = node;
       ix->max_level = ix->levels[node];
@@ -357,11 +358,15 @@ void hnsw_add_parallel(void* h, const int64_t* ext_ids, const float* vecs,
   nodes.reserve(n);
   {
     std::lock_guard<std::mutex> lock(ix->mu);
+    int batch_max_level = 0;
     for (int64_t i = 0; i < n; ++i) {
       int node = alloc_node(ix, ext_ids[i], vecs + i * ix->dim);
-      if (node >= 0) nodes.push_back(node);
+      if (node >= 0) {
+        nodes.push_back(node);
+        batch_max_level = std::max(batch_max_level, ix->levels[node]);
+      }
     }
-    ensure_links(ix);
+    ensure_links(ix, batch_max_level);
     if (ix->entry < 0 && !nodes.empty()) {
       // seed the graph with the first node; it gets linked by its peers
       ix->entry = nodes.front();
