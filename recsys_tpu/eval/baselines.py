@@ -1,0 +1,95 @@
+"""Non-learned retrieval baselines: popularity and repurchase.
+
+The reference evaluates only its trained towers (`v1_usertower_train.py:548`),
+leaving no floor to judge recall numbers against. These two classic
+baselines bound the problem from below and also measure how much of a
+dataset's signal is *trivially* predictable:
+
+* ``popularity_topk`` — one global ranking by training-window popularity
+  (the same popularity that drives LogQ correction), recommended to every
+  user. Any tower must beat this to be learning anything personal.
+* ``repurchase_topk`` — each user's own training history ranked by
+  (frequency, recency), padded out with global popularity. On retail data
+  with strong buy-again behavior this is a famously strong baseline; the
+  gap between it and a sequence tower isolates the value of *generalizing*
+  beyond re-buys.
+
+Both emit top-k index matrices compatible with ``recall_at_ks`` so the
+denominator semantics match the tower evaluation exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from recsys_tpu.eval.recall import recall_at_ks
+
+
+def popularity_ranking(logq: np.ndarray, max_k: int) -> np.ndarray:
+    """Global item ranking (1-based indices, PAD row 0 excluded) from the
+    log-popularity vector (PAD row is -20, `etl.logq_from_item_features`)."""
+    order = np.argsort(-np.asarray(logq))
+    order = order[order != 0]
+    return order[:max_k].astype(np.int64)
+
+
+def popularity_topk(logq: np.ndarray, num_users: int, max_k: int) -> np.ndarray:
+    """(num_users, max_k) — the same popular list for everyone."""
+    ranking = popularity_ranking(logq, max_k)
+    if len(ranking) < max_k:  # tiny catalogs: pad with PAD row (never a hit)
+        ranking = np.pad(ranking, (0, max_k - len(ranking)))
+    return np.broadcast_to(ranking, (num_users, max_k)).copy()
+
+
+def repurchase_topk(histories: list[np.ndarray], logq: np.ndarray,
+                    max_k: int) -> np.ndarray:
+    """Per-user buy-again ranking.
+
+    ``histories[u]`` holds the user's training item indices in time order
+    (0 = padding, ignored). Items are ranked by purchase count, ties broken
+    by recency; remaining slots are filled from the global popularity
+    ranking (skipping items already listed).
+    """
+    pop = popularity_ranking(logq, max_k + max(len(h) for h in histories) + 1
+                             if histories else max_k)
+    out = np.zeros((len(histories), max_k), np.int64)
+    for r, hist in enumerate(histories):
+        hist = hist[hist > 0]
+        ranked: list[int] = []
+        if len(hist):
+            uniq, counts = np.unique(hist, return_counts=True)
+            last_pos = {int(it): p for p, it in enumerate(hist)}
+            order = sorted(uniq.tolist(),
+                           key=lambda it: (-counts[np.searchsorted(uniq, it)],
+                                           -last_pos[int(it)]))
+            ranked = [int(it) for it in order[:max_k]]
+        seen = set(ranked)
+        for it in pop:
+            if len(ranked) >= max_k:
+                break
+            if int(it) not in seen:
+                ranked.append(int(it))
+        out[r, :len(ranked)] = ranked
+    return out
+
+
+def baseline_report(tensors: dict, logq: np.ndarray, targets_idx: dict,
+                    ks=(20, 100, 500)) -> dict:
+    """Both baselines evaluated with the tower-eval denominator semantics.
+
+    ``tensors`` is the stage-2 tensor dict (`build_sasrec_tensors`): the
+    user's training history is the left-padded ``input_ids`` row plus the
+    final target item (the causal shift drops it from the inputs).
+    """
+    user_ids = list(tensors["user_ids"])
+    max_k = max(ks)
+    n = len(user_ids)
+    pop_idx = popularity_topk(logq, n, max_k)
+    full = np.concatenate([tensors["input_ids"],
+                           tensors["target_ids"][:, -1:]], axis=1)
+    histories = [full[r] for r in range(n)]
+    rep_idx = repurchase_topk(histories, logq, max_k)
+    return {
+        "popularity": recall_at_ks(pop_idx, user_ids, targets_idx, ks),
+        "repurchase": recall_at_ks(rep_idx, user_ids, targets_idx, ks),
+    }

@@ -302,6 +302,10 @@ def cmd_eval(cfg: Config, args) -> dict:
         pass  # random-init fallback, reference behavior
     _, uv_fn = make_stage2_step(cfg, models, data["side"], data["logq"])
     metrics = evaluate_stage2(cfg, params, uv_fn, data, _mesh(cfg), bs)
+    from recsys_tpu.eval.baselines import baseline_report
+    metrics["baselines"] = baseline_report(
+        data["tensors"], data["logq"], data["targets_idx"],
+        ks=cfg.user_train.eval_ks)
     with open(p["eval"], "w") as f:
         json.dump(metrics, f, indent=1)
     return metrics

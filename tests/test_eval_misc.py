@@ -42,3 +42,29 @@ def test_tsne_scatter(tmp_path):
                           sample=60, perplexity=10)
     assert coords.shape == (60, 2)
     assert (tmp_path / "tsne.png").exists()
+
+
+def test_baseline_popularity_and_repurchase():
+    from recsys_tpu.eval.baselines import baseline_report, repurchase_topk
+
+    # logq: item 3 most popular, then 1, then 2; PAD row 0 at -20
+    logq = np.array([-20.0, -1.0, -2.0, -0.5])
+    tensors = {
+        "user_ids": np.array(["a", "b"]),
+        # user a bought item 2 twice (repurchase should lead with 2);
+        # user b has no history beyond padding + last target
+        "input_ids": np.array([[0, 2, 2], [0, 0, 0]]),
+        "target_ids": np.array([[2, 2, 1], [0, 0, 3]]),
+    }
+    targets = {"a": {2}, "b": {3}}
+    rep = baseline_report(tensors, logq, targets, ks=(1, 2))
+    # popularity top-1 is item 3: hits b, misses a
+    assert rep["popularity"]["recall@1"] == 0.5
+    # repurchase top-1: a -> its own item 2 (hit); b -> history {3} (hit)
+    assert rep["repurchase"]["recall@1"] == 1.0
+    assert rep["popularity"]["n_eval"] == 2
+
+    # explicit ranking check: count beats recency, popularity pads the tail
+    hist = [np.array([1, 2, 2])]
+    idx = repurchase_topk(hist, logq, 3)
+    assert idx[0].tolist() == [2, 1, 3]
