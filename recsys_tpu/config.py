@@ -122,6 +122,16 @@ class UserTrainConfig:
     plateau_patience: int = 2
     kernel: str = "auto"           # contrastive kernel: auto | pallas | xla
     random_cut_prob: float = 0.2   # sequence augmentation (stage-2 + hybrid)
+    # item-embedding treatment in the logq loss: "l2" scores cosine both
+    # sides; "none" keeps raw item rows (the reference's SASRecItemTower is
+    # an unnormalized table, `v1_usertower_train.py:271` — magnitudes then
+    # absorb residual popularity). HNM/margin variants mine on cosine and
+    # always normalize.
+    item_target_norm: str = "l2"
+    # retrieval scoring at eval/serving: "cosine" (reference tower eval,
+    # `v1_usertower_train.py:566`) or "dot" (reference GNN eval,
+    # `v1_evaluate_lightgcl.py:275` — keeps magnitude-encoded popularity)
+    eval_score: str = "cosine"
     # main-loss variant (the reference's loss zoo, `v1_refine_usertower.py`):
     # logq (all-time sampled softmax, the run_pipeline default) | hnm |
     # mixed_hnm | margin (full_batch_hard_emphasis)

@@ -73,6 +73,57 @@ def repurchase_topk(histories: list[np.ndarray], logq: np.ndarray,
     return out
 
 
+def _minmax(x: np.ndarray) -> np.ndarray:
+    lo, hi = float(x.min()), float(x.max())
+    return (x - lo) / (hi - lo) if hi > lo else np.zeros_like(x)
+
+
+def blend_sweep(user_vecs: np.ndarray, item_matrix: np.ndarray,
+                logq: np.ndarray, histories: np.ndarray, user_ids,
+                targets_idx: dict, ks=(20, 100, 500),
+                alphas=(0.0, 0.1, 0.2, 0.3, 0.5, 0.7, 0.9),
+                betas=(0.0, 0.3, 1.0)) -> dict:
+    """Prior-blended retrieval: fuse the tower's cosine scores with the
+    popularity prior and a seen-item (repurchase) bonus, sweeping weights.
+
+    The towers score with cosine (both sides L2-normalized, reference
+    `v1_usertower_train.py:566`), so item POPULARITY can only be encoded
+    directionally and REPURCHASE affinity not at all — on retail data both
+    carry large mass (see `baseline_report`). The blend restores them at
+    serving time, reference-ensemble style (min-max normalized weighted
+    sum, `mined_inference.py:1115-1144`):
+
+        score = (1-alpha) * minmax_u(cos) + alpha * minmax(logq) + beta * seen
+
+    Host numpy here (eval-scale); at production scale the same blend rides
+    ``topk_scores(prior=...)`` on the row-sharded TPU path.
+    """
+    items = np.asarray(item_matrix, np.float64)
+    items /= np.clip(np.linalg.norm(items, axis=-1, keepdims=True), 1e-12, None)
+    u = np.asarray(user_vecs, np.float64)
+    cos = u @ items.T                                       # (B, N+1)
+    cos = (cos - cos.min(1, keepdims=True)) / \
+        np.clip(cos.max(1, keepdims=True) - cos.min(1, keepdims=True), 1e-12, None)
+    pop = _minmax(np.asarray(logq, np.float64))
+    seen = np.zeros_like(cos)
+    rows = np.repeat(np.arange(len(histories)), histories.shape[1])
+    seen[rows, histories.reshape(-1)] = 1.0
+    max_k = max(ks)
+    table: dict = {}
+    for alpha in alphas:
+        for beta in betas:
+            s = (1 - alpha) * cos + alpha * pop[None, :] + beta * seen
+            s[:, 0] = -np.inf
+            idx = np.argpartition(-s, max_k, axis=1)[:, :max_k]
+            order = np.take_along_axis(s, idx, 1).argsort(1)[:, ::-1]
+            idx = np.take_along_axis(idx, order, 1)
+            table[f"a{alpha}_b{beta}"] = recall_at_ks(idx, user_ids,
+                                                      targets_idx, ks)
+    key = f"recall@{sorted(ks)[min(1, len(ks) - 1)]}"
+    best = max(table, key=lambda t: table[t][key])
+    return {"table": table, "best": best, "best_metrics": table[best]}
+
+
 def baseline_report(tensors: dict, logq: np.ndarray, targets_idx: dict,
                     ks=(20, 100, 500)) -> dict:
     """Both baselines evaluated with the tower-eval denominator semantics.

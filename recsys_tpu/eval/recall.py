@@ -24,11 +24,17 @@ from recsys_tpu.parallel.mesh import smap
 
 
 def topk_scores(user_vecs: jnp.ndarray, item_matrix: jnp.ndarray, k: int,
-                mesh=None, normalize_items: bool = True):
+                mesh=None, normalize_items: bool = True,
+                prior: jnp.ndarray | None = None):
     """(B, D) x (N+1, D) -> (vals, idx) (B, k); PAD row 0 excluded.
 
     With a mesh whose model axis > 1, the item matrix is row-sharded and
     top-k is merged across shards; otherwise a single dense matmul+top_k.
+
+    ``prior``: optional per-item additive score (N+1,) — e.g. a scaled
+    log-popularity blend (`eval/baselines.blend_sweep` picks the scale) —
+    applied before top-k. On a sharded mesh the prior rides the same
+    row-sharding as the item matrix, so the blend is free at any scale.
     """
     items = item_matrix.astype(jnp.float32)
     if normalize_items:
@@ -36,19 +42,23 @@ def topk_scores(user_vecs: jnp.ndarray, item_matrix: jnp.ndarray, k: int,
     u = user_vecs.astype(jnp.float32)
     if mesh is not None and mesh.shape[mesh.axis_names[1]] > 1:
         model_axis = mesh.axis_names[1]
+        pr = jnp.zeros((items.shape[0],), jnp.float32) if prior is None \
+            else prior.astype(jnp.float32)
 
-        def _score(uu, it):
-            scores = uu @ it.T
+        def _score(uu, it, pp):
+            scores = uu @ it.T + pp[None, :]
             offset = jax.lax.axis_index(model_axis) * it.shape[0]
             col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + offset
             scores = jnp.where(col == 0, -jnp.inf, scores)  # mask global PAD row
             return sharded_topk(scores, k, model_axis)
 
         f = smap(_score, mesh,
-                 (P(None, None), P(model_axis, None)),
+                 (P(None, None), P(model_axis, None), P(model_axis)),
                  (P(None, None), P(None, None)))
-        return f(u, items)
+        return f(u, items, pr)
     scores = u @ items.T
+    if prior is not None:
+        scores = scores + prior.astype(jnp.float32)[None, :]
     scores = scores.at[:, 0].set(-jnp.inf)
     return jax.lax.top_k(scores, k)
 

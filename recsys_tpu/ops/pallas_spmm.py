@@ -53,6 +53,8 @@ class SpmmMeta:
     chunk_e: int
     num_chunks: int
     pack: int = 1             # 1 = plain; 2 = two half-blocks share the lanes
+    wide: bool = True         # one (chunk_e, .) matmul pair per chunk vs
+                              # chunk_e/128 small pairs (MXU utilization)
 
 
 class BlockedGraph:
@@ -77,7 +79,8 @@ class BlockedGraph:
 
 def block_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
                 num_nodes: int, block_n: int = 1024,
-                chunk_e: int = 1024, pack: int = 1) -> BlockedGraph:
+                chunk_e: int = 1024, pack: int = 1,
+                wide: bool = True) -> BlockedGraph:
     assert chunk_e % 128 == 0 and chunk_e // 128 >= 8, \
         "chunk_e must be a multiple of 128 with >=8 sublanes (TPU tiling)"
     """Vectorized host-side chunking. ``weight==0`` edges (upstream
@@ -143,12 +146,12 @@ def block_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
         C += pad
 
     assert pack in (1, 2)
-    meta = SpmmMeta(n_pad, num_nodes, block_n, chunk_e, C, pack)
+    meta = SpmmMeta(n_pad, num_nodes, block_n, chunk_e, C, pack, wide)
     return BlockedGraph(meta, chunk_sb, chunk_db, src_local, dst_local, w)
 
 
 def _spmm_kernel(sb_ref, db_ref, x_ref, sl_ref, dl_ref, w_ref, out_ref,
-                 *, block_n, chunk_e, acc_dtype):
+                 *, block_n, chunk_e, acc_dtype, wide):
     c = pl.program_id(0)
     prev_db = db_ref[jnp.maximum(c - 1, 0)]
     is_new = (c == 0) | (prev_db != db_ref[c])
@@ -157,11 +160,34 @@ def _spmm_kernel(sb_ref, db_ref, x_ref, sl_ref, dl_ref, w_ref, out_ref,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    # chunk data arrives as (1, chunk_e/128, 128); process one 128-edge
-    # sub-chunk per unrolled iteration (TPU tiling forbids (1, chunk_e))
+    # chunk data arrives as (1, chunk_e/128, 128); one-hot rows are built
+    # per 128-edge sub-chunk (TPU tiling forbids a (1, chunk_e) layout)
     xb = x_ref[:].astype(acc_dtype)                            # (Bn, D)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (128, block_n), 1)
     rows_bn = jax.lax.broadcasted_iota(jnp.int32, (block_n, 128), 0)
+    if wide:
+        # Concatenate the sub-chunk one-hots and run ONE (chunk_e, Bn) @
+        # (Bn, D) gather and ONE (Bn, chunk_e) @ (chunk_e, D) scatter per
+        # chunk: identical FLOPs to the loop below, far better MXU
+        # utilization. The edge weight folds into the gather one-hot
+        # exactly (each row has a single nonzero).
+        oh_parts, ohT_parts = [], []
+        for j in range(chunk_e // 128):
+            sl = sl_ref[0, j, :]                               # (128,)
+            dl = dl_ref[0, j, :]
+            w = w_ref[0, j, :].astype(acc_dtype)
+            oh_parts.append((sl[:, None] == lanes).astype(acc_dtype)
+                            * w[:, None])
+            ohT_parts.append((dl[None, :] == rows_bn).astype(acc_dtype))
+        oh_s = jnp.concatenate(oh_parts, axis=0)               # (Ec, Bn)
+        msgs = jax.lax.dot_general(
+            oh_s, xb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (Ec, D)
+        oh_dT = jnp.concatenate(ohT_parts, axis=1)             # (Bn, Ec)
+        out_ref[:] += jax.lax.dot_general(
+            oh_dT, msgs.astype(acc_dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (Bn, D)
+        return
     acc = jnp.zeros_like(out_ref)
     for j in range(chunk_e // 128):
         sl = sl_ref[0, j, :]                                   # (128,)
@@ -182,7 +208,7 @@ def _spmm_kernel(sb_ref, db_ref, x_ref, sl_ref, dl_ref, w_ref, out_ref,
 
 
 def _spmm_kernel_packed(sb_ref, db_ref, x_ref, sl_ref, dl_ref, w_ref, out_ref,
-                        *, block_n, chunk_e, feat, acc_dtype, interpret):
+                        *, block_n, chunk_e, feat, acc_dtype, interpret, wide):
     """pack=2 variant: a block of ``block_n`` nodes is stored as
     (block_n/2, 2*feat) — two half-blocks side by side in the 128 lanes.
 
@@ -206,6 +232,37 @@ def _spmm_kernel_packed(sb_ref, db_ref, x_ref, sl_ref, dl_ref, w_ref, out_ref,
     rows_b = jax.lax.broadcasted_iota(jnp.int32, (Br, 128), 0)
     lane_hi = (jax.lax.broadcasted_iota(jnp.int32, (1, 2 * feat), 1)
                >= feat).astype(jnp.int32)
+    if wide:
+        # Same big-matmul fusion as the plain kernel's wide path; the
+        # half-select (keep) and cross-half fixup (roll) stay elementwise
+        # on the concatenated (Ec, 2F) message block.
+        oh_parts, ohT_parts, keep_parts, swap_parts = [], [], [], []
+        for j in range(chunk_e // 128):
+            sl = sl_ref[0, j, :]                               # (128,)
+            dl = dl_ref[0, j, :]
+            w = w_ref[0, j, :].astype(acc_dtype)
+            s_hi = (sl >= Br).astype(jnp.int32)
+            d_hi = (dl >= Br).astype(jnp.int32)
+            s_row = sl - s_hi * Br
+            d_row = dl - d_hi * Br
+            oh_parts.append((s_row[:, None] == lanes_b).astype(acc_dtype)
+                            * w[:, None])
+            ohT_parts.append((d_row[None, :] == rows_b).astype(acc_dtype))
+            keep_parts.append(lane_hi == s_hi[:, None])        # (128, 2F)
+            swap_parts.append(jnp.broadcast_to(
+                ((s_hi ^ d_hi) == 1)[:, None], (128, 2 * feat)))
+        oh_s = jnp.concatenate(oh_parts, axis=0)               # (Ec, Br)
+        msgs = jax.lax.dot_general(
+            oh_s, xb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (Ec, 2F)
+        msgs = jnp.where(jnp.concatenate(keep_parts, axis=0), msgs, 0.0)
+        swapped = roll(msgs, feat, axis=1)
+        msgs = jnp.where(jnp.concatenate(swap_parts, axis=0), swapped, msgs)
+        oh_dT = jnp.concatenate(ohT_parts, axis=1)             # (Br, Ec)
+        out_ref[:] += jax.lax.dot_general(
+            oh_dT, msgs.astype(acc_dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (Br, 2F)
+        return
     acc = jnp.zeros_like(out_ref)
     for j in range(chunk_e // 128):
         sl = sl_ref[0, j, :]                                   # (128,)
@@ -277,7 +334,7 @@ def _spmm_call(meta: SpmmMeta, arrays: dict, x: jnp.ndarray,
         out = pl.pallas_call(
             functools.partial(_spmm_kernel_packed, block_n=Bn, chunk_e=Ec,
                               feat=D, acc_dtype=acc_dtype,
-                              interpret=_interpret()),
+                              interpret=_interpret(), wide=meta.wide),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n // 2, 2 * D), jnp.float32),
             interpret=_interpret(),
@@ -298,7 +355,7 @@ def _spmm_call(meta: SpmmMeta, arrays: dict, x: jnp.ndarray,
     )
     out = pl.pallas_call(
         functools.partial(_spmm_kernel, block_n=Bn, chunk_e=Ec,
-                          acc_dtype=acc_dtype),
+                          acc_dtype=acc_dtype, wide=meta.wide),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, D), jnp.float32),
         interpret=_interpret(),

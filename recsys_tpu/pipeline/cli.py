@@ -302,10 +302,20 @@ def cmd_eval(cfg: Config, args) -> dict:
         pass  # random-init fallback, reference behavior
     _, uv_fn = make_stage2_step(cfg, models, data["side"], data["logq"])
     metrics = evaluate_stage2(cfg, params, uv_fn, data, _mesh(cfg), bs)
-    from recsys_tpu.eval.baselines import baseline_report
+    from recsys_tpu.eval.baselines import baseline_report, blend_sweep
+    from recsys_tpu.train.sasrec import collect_user_vectors
     metrics["baselines"] = baseline_report(
         data["tensors"], data["logq"], data["targets_idx"],
         ks=cfg.user_train.eval_ks)
+    uvecs, uids = collect_user_vectors(cfg, params, uv_fn, data, _mesh(cfg), bs)
+    tens = data["tensors"]
+    hist = np.concatenate([tens["input_ids"], tens["target_ids"][:, -1:]], 1)
+    blend = blend_sweep(uvecs, np.asarray(params["item"]["item_matrix"]),
+                        data["logq"], hist, uids, data["targets_idx"],
+                        ks=cfg.user_train.eval_ks)
+    metrics["blend"] = {"best": blend["best"],
+                        "best_metrics": blend["best_metrics"],
+                        "model_only": blend["table"].get("a0.0_b0.0")}
     with open(p["eval"], "w") as f:
         json.dump(metrics, f, indent=1)
     return metrics

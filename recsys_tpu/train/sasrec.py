@@ -144,7 +144,10 @@ def make_stage2_step(cfg: Config, models, side: np.ndarray, logq: np.ndarray):
                                      shape=(B, P_))           # (B, P_)
         rows = jnp.take_along_axis(u1, pos[..., None], axis=1).reshape(B * P_, D)
         tgt_ids = jnp.take_along_axis(batch["target_ids"], pos, axis=1).reshape(-1)
-        tgt_emb = l2_normalize(item_model.apply({"params": params["item"]}, tgt_ids))
+        tgt_emb = item_model.apply({"params": params["item"]}, tgt_ids)
+        if ut.item_target_norm == "l2" or ut.loss_variant in (
+                "hnm", "mixed_hnm", "margin"):  # mining assumes cosine
+            tgt_emb = l2_normalize(tgt_emb)
         user_row_ids = jnp.repeat(jnp.arange(B), P_)
         if ut.loss_variant == "hnm":
             from recsys_tpu.ops.contrastive import hnm_corrected_loss
@@ -202,14 +205,13 @@ def _slice(tensors: dict, idx: np.ndarray) -> dict:
     return {k: tensors[k][idx] for k in BATCH_KEYS}
 
 
-def evaluate_stage2(cfg: Config, state_params, user_vectors_fn, data, mesh,
-                    batch_size: int | None = None) -> dict:
+def collect_user_vectors(cfg: Config, state_params, user_vectors_fn, data,
+                         mesh, batch_size: int | None = None):
+    """Forward every eval user through the tower -> (uvecs (B,D), user_ids)."""
     tensors = data["tensors"]
     n = tensors["input_ids"].shape[0]
     bs = batch_size or cfg.user_train.batch_size
-    item_matrix = np.asarray(state_params["item"]["item_matrix"])
-    all_idx, uids = [], []
-    max_k = max(cfg.user_train.eval_ks)
+    vecs, uids = [], []
     for s in range(0, n, bs):
         idx = np.arange(s, min(s + bs, n))
         orig = len(idx)
@@ -217,10 +219,29 @@ def evaluate_stage2(cfg: Config, state_params, user_vectors_fn, data, mesh,
             idx = np.concatenate([idx, np.zeros(bs - orig, np.int64)])
         batch = jax.device_put(_slice(tensors, idx), data_sharding(mesh))
         u = user_vectors_fn(state_params, batch)
-        _, top = topk_scores(u, jnp.asarray(item_matrix), max_k, mesh=mesh)
-        all_idx.append(np.asarray(top)[:orig])
+        vecs.append(np.asarray(u)[:orig])
         uids.extend(tensors["user_ids"][s:s + orig])
-    return recall_at_ks(np.concatenate(all_idx), uids, data["targets_idx"],
+    return np.concatenate(vecs), uids
+
+
+def evaluate_stage2(cfg: Config, state_params, user_vectors_fn, data, mesh,
+                    batch_size: int | None = None) -> dict:
+    uvecs, uids = collect_user_vectors(cfg, state_params, user_vectors_fn,
+                                       data, mesh, batch_size)
+    item_matrix = np.asarray(state_params["item"]["item_matrix"])
+    max_k = max(cfg.user_train.eval_ks)
+    bs = batch_size or cfg.user_train.batch_size
+    n = len(uvecs)
+    padded = np.concatenate([uvecs, np.zeros((-n % bs, uvecs.shape[1]),
+                                             uvecs.dtype)]) if n % bs else uvecs
+    all_idx = []
+    norm = cfg.user_train.eval_score != "dot"
+    for s in range(0, len(padded), bs):
+        _, top = topk_scores(jnp.asarray(padded[s:s + bs]),
+                             jnp.asarray(item_matrix), max_k, mesh=mesh,
+                             normalize_items=norm)
+        all_idx.append(np.asarray(top))
+    return recall_at_ks(np.concatenate(all_idx)[:n], uids, data["targets_idx"],
                         cfg.user_train.eval_ks)
 
 

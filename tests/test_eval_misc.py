@@ -68,3 +68,42 @@ def test_baseline_popularity_and_repurchase():
     hist = [np.array([1, 2, 2])]
     idx = repurchase_topk(hist, logq, 3)
     assert idx[0].tolist() == [2, 1, 3]
+
+
+def test_blend_sweep_recovers_prior_signal():
+    from recsys_tpu.eval.baselines import blend_sweep
+
+    rng = np.random.default_rng(0)
+    B, N, D = 6, 40, 8
+    items = rng.normal(size=(N + 1, D)).astype(np.float32)
+    items[0] = 0
+    # user vectors point at the WRONG items; popularity prior points at the
+    # true targets -> alpha > 0 must win the sweep
+    uvecs = np.stack([items[20 + r] for r in range(B)])
+    logq = np.full(N + 1, -10.0)
+    logq[0] = -20.0
+    targets = {f"u{r}": {r + 1} for r in range(B)}
+    logq[1:B + 1] = -1.0  # targets are the popular items
+    hist = np.zeros((B, 3), np.int64)
+    out = blend_sweep(uvecs, items, logq, hist, [f"u{r}" for r in range(B)],
+                      targets, ks=(1, 5), alphas=(0.0, 0.9), betas=(0.0,))
+    assert out["table"]["a0.9_b0.0"]["recall@5"] > \
+        out["table"]["a0.0_b0.0"]["recall@5"]
+    # seen bonus: history containing the target dominates everything
+    hist[:, 0] = np.arange(1, B + 1)
+    out2 = blend_sweep(uvecs, items, logq, hist, [f"u{r}" for r in range(B)],
+                       targets, ks=(1, 5), alphas=(0.0,), betas=(1.0,))
+    assert out2["table"]["a0.0_b1.0"]["recall@1"] == 1.0
+
+
+def test_topk_scores_prior():
+    from recsys_tpu.eval.recall import topk_scores
+
+    items = np.zeros((5, 4), np.float32)
+    items[1:] = np.eye(4)
+    u = np.zeros((2, 4), np.float32)
+    u[:, 0] = 1.0  # cosine favors item 1
+    prior = np.array([0.0, 0.0, 10.0, 0.0, 0.0], np.float32)  # prior: item 2
+    _, idx = topk_scores(jnp.asarray(u), jnp.asarray(items), 1,
+                         prior=jnp.asarray(prior))
+    assert idx.tolist() == [[2], [2]]

@@ -19,14 +19,15 @@ def graph():
 
 
 @pytest.mark.parametrize("pack", [1, 2])
-def test_spmm_forward_parity(graph, pack):
+@pytest.mark.parametrize("wide", [True, False])
+def test_spmm_forward_parity(graph, pack, wide):
     n = graph.num_nodes
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(n, 64)).astype(np.float32))
     ref = propagate(x, jnp.asarray(graph.src), jnp.asarray(graph.dst),
                     jnp.asarray(graph.weight), n)
     blocked = block_graph(graph.src, graph.dst, graph.weight, n,
-                          block_n=256, chunk_e=1024, pack=pack)
+                          block_n=256, chunk_e=1024, pack=pack, wide=wide)
     got = spmm(blocked.meta, blocked.device_arrays(), x, "f32")
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
