@@ -118,6 +118,10 @@ class UserTrainConfig:
     # static-shape replacement for the reference's dynamic all-timestep
     # flattening: sample this many valid positions per user per step
     positions_per_user: int = 4
+    # floor on optimizer steps per epoch: small worlds (few user batches)
+    # run multiple shuffled passes, resampling positions each pass, so an
+    # "epoch" carries a reference-scale training signal
+    steps_per_epoch_min: int = 1
     plateau_factor: float = 0.5    # ReduceLROnPlateau on Recall@100
     plateau_patience: int = 2
     kernel: str = "auto"           # contrastive kernel: auto | pallas | xla

@@ -129,17 +129,21 @@ def train_hybrid(cfg: Config, data: dict, content: np.ndarray,
 
     gstep = 0
     history = []
+    # small worlds: multiple shuffled passes per epoch (see
+    # UserTrainConfig.steps_per_epoch_min)
+    passes = max(1, -(-ut.steps_per_epoch_min // max(n // bs, 1)))
     for epoch in range(1, ut.epochs + 1):
-        for idx in batch_iterator(n, bs, rng):
-            batch = jax.device_put(_slice(tensors, idx), data_sharding(mesh))
-            gu = jax.device_put(jnp.asarray(gnn_users[idx]), data_sharding(mesh))
-            key, sub = jax.random.split(key)
-            state, loss = step_fn(state, batch, gu, sub)
-            gstep += 1
-            if gstep % 50 == 0:
-                writer.write("train", gstep, loss=float(loss),
-                             logit_scale=float(np.asarray(
-                                 state.params["logit_scale"])))
+        for _pass in range(passes):
+            for idx in batch_iterator(n, bs, rng):
+                batch = jax.device_put(_slice(tensors, idx), data_sharding(mesh))
+                gu = jax.device_put(jnp.asarray(gnn_users[idx]), data_sharding(mesh))
+                key, sub = jax.random.split(key)
+                state, loss = step_fn(state, batch, gu, sub)
+                gstep += 1
+                if gstep % 50 == 0:
+                    writer.write("train", gstep, loss=float(loss),
+                                 logit_scale=float(np.asarray(
+                                     state.params["logit_scale"])))
         metrics = hybrid_eval(cfg, state.params, uv_fn, im_fn, data, gnn_users, mesh, bs)
         writer.write("eval", epoch, **metrics)
         history.append(metrics)

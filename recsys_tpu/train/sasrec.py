@@ -252,7 +252,9 @@ def train_user_tower(cfg: Config, data: dict, pretrained_matrix: np.ndarray | No
     tensors = data["tensors"]
     n = tensors["input_ids"].shape[0]
     bs = min(ut.batch_size, max(n - n % 8, 8))
-    steps_per_epoch = max(n // bs, 1)
+    base_steps = max(n // bs, 1)
+    passes = max(1, -(-ut.steps_per_epoch_min // base_steps))
+    steps_per_epoch = base_steps * passes
 
     key = jax.random.PRNGKey(cfg.data.seed)
     num_items_pad = len(data["item_map"]) + 1
@@ -281,17 +283,18 @@ def train_user_tower(cfg: Config, data: dict, pretrained_matrix: np.ndarray | No
     history = []
     for epoch in range(start_epoch, ut.epochs + 1):
         t0, seen = time.time(), 0
-        for idx in batch_iterator(n, bs, rng):
-            batch = jax.device_put(_slice(tensors, idx), data_sharding(mesh))
-            key, sub = jax.random.split(key)
-            state, aux = step_fn(state, batch, sub)
-            gstep += 1
-            seen += bs
-            if gstep % min(100, steps_per_epoch) == 0:
-                writer.write("train", gstep, loss=float(aux["loss"]),
-                             main=float(aux["main"]), cl=float(aux["cl"]),
-                             examples_per_s=seen / max(time.time() - t0, 1e-9),
-                             **gate_weights(state.params["user"]))
+        for _pass in range(passes):
+            for idx in batch_iterator(n, bs, rng):
+                batch = jax.device_put(_slice(tensors, idx), data_sharding(mesh))
+                key, sub = jax.random.split(key)
+                state, aux = step_fn(state, batch, sub)
+                gstep += 1
+                seen += bs
+                if gstep % min(100, steps_per_epoch) == 0:
+                    writer.write("train", gstep, loss=float(aux["loss"]),
+                                 main=float(aux["main"]), cl=float(aux["cl"]),
+                                 examples_per_s=seen / max(time.time() - t0, 1e-9),
+                                 **gate_weights(state.params["user"]))
         metrics = evaluate_stage2(cfg, state.params, user_vectors_fn, data, mesh, bs)
         r100 = metrics.get("recall@100", 0.0)
         writer.write("eval", epoch, **metrics)

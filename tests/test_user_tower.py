@@ -119,3 +119,20 @@ def test_loss_variants_train(stage2_data, mesh, tmp_path, variant):
     state, history, _ = sasrec.train_user_tower(
         cfg, stage2_data, pretrained, mesh, str(tmp_path / variant))
     assert len(history) == 1 and np.isfinite(history[0]["recall@5"])
+
+
+def test_steps_per_epoch_min_multiplies_passes(stage2_data, mesh, tmp_path):
+    """Small worlds: an epoch runs ceil(min/base) shuffled passes so the
+    optimizer-step count reaches reference scale."""
+    from dataclasses import replace
+
+    cfg = Config(**{**CFG.__dict__, "user_train": replace(
+        CFG.user_train, epochs=1, steps_per_epoch_min=7)})
+    pretrained = np.zeros((121, 128), np.float32)
+    state, history, _ = sasrec.train_user_tower(
+        cfg, stage2_data, pretrained, mesh, str(tmp_path / "a"))
+    n = stage2_data["tensors"]["input_ids"].shape[0]
+    base = max(n // 16, 1)
+    passes = -(-7 // base)
+    assert int(state.step) == base * passes
+    assert len(history) == 1
