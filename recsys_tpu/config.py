@@ -211,6 +211,10 @@ class ServeConfig:
     hnsw_m: int = 24
     hnsw_ef_construction: int = 200
     hnsw_ef_search: int = 100
+    # coalesce concurrent HTTP vectorize calls into shared device batches
+    # (leader/follower, serve/batcher.py); 0 disables
+    batch_window_ms: float = 2.0
+    max_dynamic_batch: int = 1024
 
 
 @dataclass(frozen=True)

@@ -364,8 +364,13 @@ def build_app_context(cfg: Config, vectorizer: Callable | None = None) -> AppCon
                           ef_search=cfg.serve.hnsw_ef_search)
     else:
         index = VectorIndex(cfg.item_tower.dim, cosine=True)
-    ctx = AppContext(cfg, store, index,
-                     vectorizer or hash_vectorizer(cfg.item_tower.dim))
+    vec_fn = vectorizer or hash_vectorizer(cfg.item_tower.dim)
+    if cfg.serve.batch_window_ms > 0:
+        from recsys_tpu.serve.batcher import DynamicBatcher
+
+        vec_fn = DynamicBatcher(vec_fn, max_batch=cfg.serve.max_dynamic_batch,
+                                max_wait_ms=cfg.serve.batch_window_ms)
+    ctx = AppContext(cfg, store, index, vec_fn)
     # warm the index from any vectors already in the store
     ids, vecs = store.all_vectors()
     if len(ids):

@@ -47,11 +47,13 @@ def _routes(ctx: AppContext):
             devices = [str(d) for d in jax.devices()]
         except Exception:
             devices = []
+        stats = getattr(ctx.vectorize_fn, "stats", None)
         return {"status": "ok", "devices": devices,
                 "tpu_available": any("tpu" in d.lower() or "TPU" in d
                                      for d in devices),
                 "index_size": len(ctx.index),
-                "pending": ctx.store.pending_count()}
+                "pending": ctx.store.pending_count(),
+                "batcher": stats() if callable(stats) else None}
 
     def ingest(body, params):
         products = body.get("products", body if isinstance(body, list) else [])

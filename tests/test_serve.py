@@ -305,3 +305,64 @@ def test_service_table_twin_paths():
     assert store.pending_count("service") == 0
     ids, vecs = store.all_vectors("service")
     assert len(ids) == 4 and vecs.shape == (4, 8)
+
+
+# -- dynamic request batching ------------------------------------------------
+
+def test_dynamic_batcher_coalesces_and_slices():
+    """Concurrent submits share one underlying call, and every caller gets
+    exactly its own rows back (order within a request preserved)."""
+    import threading
+    import time
+
+    from recsys_tpu.serve.batcher import DynamicBatcher
+
+    calls = []
+
+    def fn(items):
+        calls.append(len(items))
+        time.sleep(0.01)  # make the device call slow enough to coalesce under
+        return np.asarray([[float(i)] * 4 for i in items], np.float32)
+
+    b = DynamicBatcher(fn, max_wait_ms=50.0)
+    results = {}
+    barrier = threading.Barrier(6)
+
+    def worker(tag, payload):
+        barrier.wait()
+        results[tag] = b.submit(payload)
+
+    threads = [threading.Thread(target=worker, args=(t, [t * 10 + j for j in range(t + 1)]))
+               for t in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for tag, out in results.items():
+        expect = np.asarray([[float(tag * 10 + j)] * 4 for j in range(tag + 1)])
+        np.testing.assert_allclose(out, expect)
+    assert len(calls) < 6, f"no coalescing happened: {calls}"
+    stats = b.stats()
+    assert stats["requests"] == 6 and stats["coalesce_ratio"] > 1.0
+
+
+def test_dynamic_batcher_propagates_errors():
+    from recsys_tpu.serve.batcher import DynamicBatcher
+
+    def bad(items):
+        raise ValueError("boom")
+
+    b = DynamicBatcher(bad, max_wait_ms=1.0)
+    with pytest.raises(ValueError, match="boom"):
+        b.submit([1, 2])
+    # the batcher recovers: leadership was released
+    ok = DynamicBatcher(lambda xs: np.zeros((len(xs), 2)), max_wait_ms=1.0)
+    assert ok.submit([1]).shape == (1, 2)
+
+
+def test_app_context_wraps_vectorizer_with_batcher():
+    ctx = build_app_context(CFG)
+    assert hasattr(ctx.vectorize_fn, "stats")  # DynamicBatcher facade
+    ctx.store.ingest_products(_products(5))
+    out = ctx.process_pending()
+    assert out["processed_count"] == 5
