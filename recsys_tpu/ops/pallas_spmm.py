@@ -175,9 +175,10 @@ def _spmm_kernel(sb_ref, db_ref, x_ref, sl_ref, dl_ref, w_ref, out_ref,
         for j in range(chunk_e // 128):
             sl = sl_ref[0, j, :]                               # (128,)
             dl = dl_ref[0, j, :]
-            w = w_ref[0, j, :].astype(acc_dtype)
-            oh_parts.append((sl[:, None] == lanes).astype(acc_dtype)
-                            * w[:, None])
+            # minor-dim insertion must happen on the 32-bit value — Mosaic
+            # can't reshape (128,) bf16 -> (128, 1)
+            w = w_ref[0, j, :][:, None].astype(acc_dtype)      # (128, 1)
+            oh_parts.append((sl[:, None] == lanes).astype(acc_dtype) * w)
             ohT_parts.append((dl[None, :] == rows_bn).astype(acc_dtype))
         oh_s = jnp.concatenate(oh_parts, axis=0)               # (Ec, Bn)
         msgs = jax.lax.dot_general(
@@ -240,17 +241,21 @@ def _spmm_kernel_packed(sb_ref, db_ref, x_ref, sl_ref, dl_ref, w_ref, out_ref,
         for j in range(chunk_e // 128):
             sl = sl_ref[0, j, :]                               # (128,)
             dl = dl_ref[0, j, :]
-            w = w_ref[0, j, :].astype(acc_dtype)
+            # minor-dim insertion on the 32-bit value (Mosaic can't reshape
+            # (128,) bf16 -> (128, 1)); cast the 2-D result
+            w = w_ref[0, j, :][:, None].astype(acc_dtype)      # (128, 1)
             s_hi = (sl >= Br).astype(jnp.int32)
             d_hi = (dl >= Br).astype(jnp.int32)
             s_row = sl - s_hi * Br
             d_row = dl - d_hi * Br
             oh_parts.append((s_row[:, None] == lanes_b).astype(acc_dtype)
-                            * w[:, None])
+                            * w)
             ohT_parts.append((d_row[None, :] == rows_b).astype(acc_dtype))
             keep_parts.append(lane_hi == s_hi[:, None])        # (128, 2F)
+            # insert the minor dim on i32, compare in 2-D (i1 reshape is
+            # unsupported by Mosaic)
             swap_parts.append(jnp.broadcast_to(
-                ((s_hi ^ d_hi) == 1)[:, None], (128, 2 * feat)))
+                (s_hi ^ d_hi)[:, None], (128, 2 * feat)) == 1)
         oh_s = jnp.concatenate(oh_parts, axis=0)               # (Ec, Br)
         msgs = jax.lax.dot_general(
             oh_s, xb, (((1,), (0,)), ((), ())),
