@@ -120,8 +120,17 @@ class UserTrainConfig:
     positions_per_user: int = 4
     # floor on optimizer steps per epoch: small worlds (few user batches)
     # run multiple shuffled passes, resampling positions each pass, so an
-    # "epoch" carries a reference-scale training signal
-    steps_per_epoch_min: int = 1
+    # "epoch" carries a reference-scale training signal. At reference scale
+    # (1.37M users / bs 768 ≈ 1787 steps) this floor is inactive; on a
+    # 1k-user world the old floor of 1 meant ONE optimizer step per "epoch"
+    # — every small-world run was ~50x undertrained (see RESULTS.md).
+    steps_per_epoch_min: int = 100
+    # the hybrid tower gets its OWN floor (default off): it trains one
+    # position per user through near-passthrough adapters (reference gates
+    # start at sigmoid(-5)≈0, `mined_inference.py:514-577`) and the steps
+    # sweep showed extra passes degrade it monotonically (epoch-1 Recall@100
+    # 19.1% → 13.8% by epoch 15 on the 1k-user world vs 35.6% at floor 1).
+    hybrid_steps_per_epoch_min: int = 1
     plateau_factor: float = 0.5    # ReduceLROnPlateau on Recall@100
     plateau_patience: int = 2
     kernel: str = "auto"           # contrastive kernel: auto | pallas | xla

@@ -181,7 +181,11 @@ def cmd_train_user(cfg: Config, args) -> dict:
     state, history, _ = train_user_tower(
         cfg, data, pretrained, _mesh(cfg), p["user_ckpts"],
         resume=getattr(args, "resume", False))
-    return {"epochs": len(history), "final": history[-1] if history else {}}
+    key_k = "recall@100" if any("recall@100" in h for h in history) else None
+    best = (max(history, key=lambda h: h.get(key_k, 0.0))
+            if history and key_k else (history[-1] if history else {}))
+    return {"epochs": len(history), "best": best,
+            "final": history[-1] if history else {}}
 
 
 def cmd_train_gnn(cfg: Config, args) -> dict:
@@ -374,7 +378,11 @@ def cmd_train_hybrid(cfg: Config, args) -> dict:
         gnn_model = H.topm_for_model(gu_aligned, gnn_mat, m, normalize_items=False)
     report = H.ensemble_report(seq_model, gnn_model, user_ids,
                                data["targets_idx"], ks=cfg.user_train.eval_ks)
-    out = {"hybrid_final": history[-1] if history else {},
+    key_k = "recall@100" if any("recall@100" in h for h in history) else None
+    best_h = (max(history, key=lambda h: h.get(key_k, 0.0))
+              if history and key_k else (history[-1] if history else {}))
+    out = {"hybrid_best": best_h,
+           "hybrid_final": history[-1] if history else {},
            "ensemble": {k: (v if k.startswith("standalone") else
                             {"best_alpha": v["best_alpha"], "best": v["best"]})
                         for k, v in report.items()}}

@@ -130,8 +130,8 @@ def train_hybrid(cfg: Config, data: dict, content: np.ndarray,
     gstep = 0
     history = []
     # small worlds: multiple shuffled passes per epoch (see
-    # UserTrainConfig.steps_per_epoch_min)
-    passes = max(1, -(-ut.steps_per_epoch_min // max(n // bs, 1)))
+    # UserTrainConfig.hybrid_steps_per_epoch_min)
+    passes = max(1, -(-ut.hybrid_steps_per_epoch_min // max(n // bs, 1)))
     for epoch in range(1, ut.epochs + 1):
         for _pass in range(passes):
             for idx in batch_iterator(n, bs, rng):
@@ -150,6 +150,12 @@ def train_hybrid(cfg: Config, data: dict, content: np.ndarray,
         store.save(f"ep{epoch:03d}", state, step=gstep,
                    metric=metrics.get("recall@100", metrics.get("recall@20", 0.0)),
                    extra={"epoch": epoch})
+    # best-checkpoint selection on Recall@100 (reference protocol,
+    # `v1_usertower_train.py:1015-1022`): hand the winner back to callers
+    try:
+        state, _best = store.restore_best(state)
+    except FileNotFoundError:
+        pass
     return state, history, (model, uv_fn, im_fn)
 
 

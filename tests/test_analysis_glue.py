@@ -79,7 +79,7 @@ def test_store_backed_user_trainer(tmp_path):
         vocab=VocabConfig(num_hash_buckets=20),
         user_tower=UserTowerConfig(max_len=6, num_layers=1),
         user_train=UserTrainConfig(batch_size=8, epochs=1, positions_per_user=1,
-                                   eval_ks=(5,)))
+                                   eval_ks=(5,), steps_per_epoch_min=1))
     store = ServeStore()
     store.ingest_products([
         {"product_id": f"p{i}", "product_name": f"item {i}",

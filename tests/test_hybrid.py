@@ -18,7 +18,8 @@ CFG = Config(
     data=DataConfig(num_items=100, num_users=50, days=50, seed=13),
     vocab=VocabConfig(num_hash_buckets=50),
     user_tower=UserTowerConfig(max_len=10, num_layers=1),
-    user_train=UserTrainConfig(batch_size=16, epochs=2, eval_ks=(5, 20)),
+    user_train=UserTrainConfig(batch_size=16, epochs=2, eval_ks=(5, 20),
+                               steps_per_epoch_min=1),
 )
 
 

@@ -23,6 +23,7 @@ def _run(workdir, command, *extra):
             "--set", "user_tower.max_len=10", "--set", "user_tower.num_layers=1",
             "--set", "user_train.batch_size=16", "--set", "user_train.epochs=1",
             "--set", "user_train.eval_ks=[5,20]",
+            "--set", "user_train.steps_per_epoch_min=1",
             "--set", "simcse.batch_size=16", "--set", "simcse.epochs=1",
             "--set", "gnn.batch_size=256", "--set", "gnn.epochs=2",
             "--set", "gnn.emb_dim=16", "--set", "gnn.svd_rank=4",

@@ -17,7 +17,8 @@ CFG = Config(
     vocab=VocabConfig(num_hash_buckets=50),
     user_tower=UserTowerConfig(max_len=12, num_layers=1),
     user_train=UserTrainConfig(batch_size=16, epochs=2, positions_per_user=2,
-                               eval_ks=(5, 20), freeze_item_epochs=1),
+                               eval_ks=(5, 20), freeze_item_epochs=1,
+                               steps_per_epoch_min=1),
 )
 
 
@@ -84,7 +85,8 @@ def test_train_user_tower_end_to_end(stage2_data, mesh, tmp_path):
     # resume: restores latest epoch and continues without error
     cfg3 = Config(**{**CFG.__dict__, "user_train":
                      UserTrainConfig(batch_size=16, epochs=3, positions_per_user=2,
-                                     eval_ks=(5, 20), freeze_item_epochs=1)})
+                                     eval_ks=(5, 20), freeze_item_epochs=1,
+                                     steps_per_epoch_min=1)})
     state2, history2, _ = sasrec.train_user_tower(
         cfg3, stage2_data, pretrained, mesh, str(tmp_path), resume=True)
     assert len(history2) == 1  # only epoch 3 ran
@@ -113,7 +115,7 @@ def test_loss_variants_train(stage2_data, mesh, tmp_path, variant):
                 "user_train": UserTrainConfig(
                     batch_size=16, epochs=1, positions_per_user=2,
                     eval_ks=(5,), freeze_item_epochs=0, loss_variant=variant,
-                    top_k_percent=0.1)})
+                    top_k_percent=0.1, steps_per_epoch_min=1)})
     rng = np.random.default_rng(0)
     pretrained = rng.normal(0, 0.05, (121, 128)).astype(np.float32)
     state, history, _ = sasrec.train_user_tower(
