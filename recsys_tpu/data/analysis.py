@@ -98,3 +98,31 @@ def cluster_personas(behavior: pd.DataFrame, n_clusters: int = 8,
         tags[c] = " & ".join(parts[:2]) if parts else "Mainstream"
     out["persona_tag"] = out["cluster"].map(tags)
     return out, tags
+
+
+def sequence_distribution_stats(seqs: pd.DataFrame,
+                                known_items: set | None = None) -> dict:
+    """Sequence-length / long-tail / id-coverage EDA as structured data
+    (reference ``analyze_distributions``, `v1_refine_usertower.py:141-192`,
+    which printed + plotted; here the numbers are the artifact so they can
+    be logged and asserted on).
+
+    ``seqs`` is `etl.make_sequences` output (a ``sequence`` list column);
+    ``known_items`` optionally checks id-mapping coverage."""
+    lengths = seqs["sequence"].apply(len)
+    all_items = [i for s in seqs["sequence"] for i in s]
+    counts = pd.Series(all_items).value_counts()
+    top_n = max(1, int(len(counts) * 0.1))
+    out = {
+        "len_mean": float(lengths.mean()),
+        "len_median": float(lengths.median()),
+        "len_p90": float(lengths.quantile(0.9)),
+        "len_p95": float(lengths.quantile(0.95)),
+        "len_max": int(lengths.max()),
+        "unique_items": int(len(counts)),
+        "top10pct_coverage": float(counts.iloc[:top_n].sum() / max(len(all_items), 1)),
+    }
+    if known_items is not None:
+        out["unmapped_items"] = int(sum(1 for i in counts.index
+                                        if i not in known_items))
+    return out

@@ -104,3 +104,36 @@ def gate_weights(params, path_filter: str = "gate") -> dict[str, float]:
             for i, v in enumerate(vals.tolist()):
                 out[f"{name}[{i}]"] = float(v)
     return out
+
+
+def meta_feature_importance(kernel, slices: Mapping[str, slice]) -> dict[str, float]:
+    """First-layer |weight|-norm attribution over named input-column groups
+    — which raw feature group drives a head (reference
+    ``get_meta_feature_importance``, `mined_inference.py:712-734`).
+
+    ``kernel`` is a flax Dense kernel (in_dim, out_dim); ``slices`` names
+    row ranges of the input dimension. Returns shares summing to ~1."""
+    import numpy as np
+
+    w = np.abs(np.asarray(kernel, dtype=np.float32))
+    means = {name: float(w[sl].mean()) for name, sl in slices.items()}
+    total = sum(means.values()) + 1e-9
+    return {k: v / total for k, v in means.items()}
+
+
+def static_branch_importance(user_params, tower_cfg) -> dict[str, float]:
+    """Feature-group attribution for the SASRec static branch: slices the
+    static-MLP first layer by (bucket embs | categorical embs | continuous
+    projection) per the concat order in ``SASRecUserTower.__call__``."""
+    kernel = user_params["static_mlp"]["Dense_0"]["kernel"]
+    c = tower_cfg
+    slices: dict[str, slice] = {}
+    off = 0
+    for i in range(c.static_bucket_fields):
+        slices[f"bucket{i}"] = slice(off, off + c.bucket_emb_dim)
+        off += c.bucket_emb_dim
+    for i in range(c.static_cat_fields):
+        slices[f"cat{i}"] = slice(off, off + c.cat_emb_dim)
+        off += c.cat_emb_dim
+    slices["cont"] = slice(off, off + c.cont_proj_dim)
+    return meta_feature_importance(kernel, slices)

@@ -37,7 +37,8 @@ from recsys_tpu.ops import select_logq_loss
 from recsys_tpu.ops.contrastive import duorec_loss
 from recsys_tpu.parallel.mesh import data_sharding, replicated
 from recsys_tpu.train.checkpoint import CheckpointStore, align_rows
-from recsys_tpu.train.metrics import MetricWriter, gate_weights
+from recsys_tpu.train.metrics import (
+    MetricWriter, gate_weights, static_branch_importance)
 from recsys_tpu.train.state import (
     PlateauScheduler,
     TrainState,
@@ -297,7 +298,9 @@ def train_user_tower(cfg: Config, data: dict, pretrained_matrix: np.ndarray | No
                                  **gate_weights(state.params["user"]))
         metrics = evaluate_stage2(cfg, state.params, user_vectors_fn, data, mesh, bs)
         r100 = metrics.get("recall@100", 0.0)
-        writer.write("eval", epoch, **metrics)
+        writer.write("eval", epoch, **metrics,
+                     **{f"imp_{k}": v for k, v in static_branch_importance(
+                         state.params["user"], cfg.user_tower).items()})
         history.append(metrics)
         scale = plateau.update(r100)
         state = state.replace(opt_state=set_lr_factor(state.opt_state, scale))

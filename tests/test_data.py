@@ -197,3 +197,19 @@ def test_aggregate_histories(world, tmp_path):
     assert sum(out["article_counts"].values()) == len(tx)
     import json
     assert json.load(open(tmp_path / "agg.json"))["article_counts"]
+
+
+def test_sequence_distribution_stats(world):
+    from recsys_tpu.data.analysis import sequence_distribution_stats
+
+    _, _, tx = world
+    train, _, _ = etl.time_split(tx)
+    seqs = etl.make_sequences(train, max_len=50)
+    known = set(train["item_id"])
+    stats = sequence_distribution_stats(seqs, known)
+    assert stats["len_max"] <= 50
+    assert stats["len_mean"] >= 1.0
+    assert 0.0 < stats["top10pct_coverage"] <= 1.0
+    assert stats["unmapped_items"] == 0
+    # p95 >= median (sanity on quantile ordering)
+    assert stats["len_p95"] >= stats["len_median"]

@@ -57,3 +57,31 @@ def test_loggers(capsys):
     # wandb absent in the image -> graceful no-op sink
     sink = maybe_wandb_writer("proj", "run")
     sink(1, loss=0.5)
+
+
+def test_meta_feature_importance_slices():
+    from recsys_tpu.train.metrics import meta_feature_importance
+
+    # kernel (in=6, out=4): rows 0-1 dominate -> their group gets the share
+    k = np.zeros((6, 4), np.float32)
+    k[0:2] = 3.0
+    k[2:4] = 1.0
+    imp = meta_feature_importance(k, {"a": slice(0, 2), "b": slice(2, 4),
+                                      "c": slice(4, 6)})
+    assert imp["a"] > imp["b"] > imp["c"]
+    assert abs(sum(imp.values()) - 1.0) < 1e-5
+
+
+def test_static_branch_importance_from_params():
+    from recsys_tpu.config import UserTowerConfig
+    from recsys_tpu.train.metrics import static_branch_importance
+
+    c = UserTowerConfig(static_bucket_fields=2, static_cat_fields=1,
+                        bucket_emb_dim=4, cat_emb_dim=2, cont_proj_dim=3)
+    static_in = 2 * 4 + 1 * 2 + 3
+    rng = np.random.default_rng(0)
+    params = {"static_mlp": {"Dense_0": {
+        "kernel": rng.normal(0, 0.1, (static_in, 8)).astype(np.float32)}}}
+    imp = static_branch_importance(params, c)
+    assert set(imp) == {"bucket0", "bucket1", "cat0", "cont"}
+    assert abs(sum(imp.values()) - 1.0) < 1e-5
