@@ -33,6 +33,7 @@ from recsys_tpu.parallel.collectives import local_index_offset
 # Barrier-semaphore ids for this library's kernels (must be unique per
 # concurrently-running collective kernel family).
 _RING_GATHER_COLLECTIVE_ID = 7
+_RING_GATHER_BIDI_COLLECTIVE_ID = 8
 
 
 def _interpret():
@@ -114,16 +115,104 @@ def _ring_all_gather_kernel(axis_name: str, num_devices: int,
         out_ref[pl.ds(src * rows, rows)] = comm_buf[recv_slot]
 
 
-def ring_all_gather(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+def _ring_all_gather_bidi_kernel(axis_name: str, num_devices: int,
+                                 local_ref, out_ref,
+                                 cw_buf, cw_send, cw_recv, cw_ready,
+                                 ccw_buf, ccw_send, ccw_recv, ccw_ready):
+    """Bidirectional ring: chunks originating to my LEFT arrive clockwise
+    (left -> me -> right), chunks to my RIGHT counter-clockwise — both link
+    directions carry traffic every step, so the gather finishes in
+    ceil((S-1)/2) hops instead of S-1. Each direction runs the same
+    double-buffer + ready-handshake protocol as the unidirectional kernel,
+    on its OWN buffers/semaphores (no cross-direction aliasing)."""
+    my_id, left, right = _flat_neighbor_ids(axis_name, num_devices)
+    rows = local_ref.shape[0]
+    cw_steps = num_devices // 2                 # ceil((S-1)/2)
+    ccw_steps = (num_devices - 1) // 2
+
+    barrier = pltpu.get_barrier_semaphore()
+    for nb in (left, right):
+        pltpu.semaphore_signal(barrier, inc=1, device_id=nb,
+                               device_id_type=pltpu.DeviceIdType.LOGICAL)
+    pltpu.semaphore_wait(barrier, 2)
+
+    out_ref[pl.ds(my_id * rows, rows)] = local_ref[...]
+    cw_buf[0] = local_ref[...]
+    ccw_buf[0] = local_ref[...]
+
+    for step in range(cw_steps):
+        do_ccw = step < ccw_steps
+        send_slot = step % 2
+        recv_slot = (step + 1) % 2
+        if step >= 1:
+            pltpu.semaphore_wait(cw_ready, 1)
+            if do_ccw:
+                pltpu.semaphore_wait(ccw_ready, 1)
+        rdma_cw = pltpu.make_async_remote_copy(
+            src_ref=cw_buf.at[send_slot], dst_ref=cw_buf.at[recv_slot],
+            send_sem=cw_send.at[send_slot], recv_sem=cw_recv.at[recv_slot],
+            device_id=right, device_id_type=pltpu.DeviceIdType.LOGICAL)
+        rdma_cw.start()
+        if do_ccw:
+            rdma_ccw = pltpu.make_async_remote_copy(
+                src_ref=ccw_buf.at[send_slot], dst_ref=ccw_buf.at[recv_slot],
+                send_sem=ccw_send.at[send_slot], recv_sem=ccw_recv.at[recv_slot],
+                device_id=left, device_id_type=pltpu.DeviceIdType.LOGICAL)
+            rdma_ccw.start()
+        rdma_cw.wait()
+        if do_ccw:
+            rdma_ccw.wait()
+        if step < cw_steps - 1:
+            pltpu.semaphore_signal(cw_ready, inc=1, device_id=left,
+                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
+        if do_ccw and step < ccw_steps - 1:
+            pltpu.semaphore_signal(ccw_ready, inc=1, device_id=right,
+                                   device_id_type=pltpu.DeviceIdType.LOGICAL)
+        src_cw = jax.lax.rem(my_id - step - 1 + num_devices, num_devices)
+        out_ref[pl.ds(src_cw * rows, rows)] = cw_buf[recv_slot]
+        if do_ccw:
+            src_ccw = jax.lax.rem(my_id + step + 1, num_devices)
+            out_ref[pl.ds(src_ccw * rows, rows)] = ccw_buf[recv_slot]
+
+
+def ring_all_gather(x: jnp.ndarray, axis_name: str,
+                    bidirectional: bool = False) -> jnp.ndarray:
     """Tiled all-gather of a (rows, cols) shard -> (S*rows, cols), moved as
-    S-1 neighbor RDMA hops. Equivalent to
-    ``lax.all_gather(x, axis_name, axis=0, tiled=True)``."""
+    neighbor RDMA hops. Equivalent to
+    ``lax.all_gather(x, axis_name, axis=0, tiled=True)``.
+
+    ``bidirectional=True`` splits traffic across both ring directions:
+    ceil((S-1)/2) hops of wall-clock instead of S-1, at the cost of a second
+    comm-buffer set (ROADMAP "overlap variants")."""
     num_devices = jax.lax.axis_size(axis_name)
     if num_devices == 1:
         return x
     if x.ndim != 2:
         raise ValueError(f"ring_all_gather expects rank-2 shards, got {x.shape}")
     rows, cols = x.shape
+    if bidirectional and num_devices > 2:
+        kernel = functools.partial(
+            _ring_all_gather_bidi_kernel, axis_name, num_devices)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((num_devices * rows, cols), x.dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, rows, cols), x.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.REGULAR,
+                pltpu.VMEM((2, rows, cols), x.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.REGULAR,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                collective_id=_RING_GATHER_BIDI_COLLECTIVE_ID,
+                has_side_effects=True),
+            interpret=_interpret(),
+        )(x)
     kernel = functools.partial(_ring_all_gather_kernel, axis_name, num_devices)
     return pl.pallas_call(
         kernel,
@@ -142,7 +231,8 @@ def ring_all_gather(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
     )(x)
 
 
-def ring_sharded_topk(scores_local: jnp.ndarray, k: int, axis_name: str):
+def ring_sharded_topk(scores_local: jnp.ndarray, k: int, axis_name: str,
+                      bidirectional: bool = False):
     """Distributed top-k over a column-sharded (B, N) score matrix, with the
     candidate exchange on the RDMA ring instead of an XLA all-gather.
 
@@ -159,7 +249,8 @@ def ring_sharded_topk(scores_local: jnp.ndarray, k: int, axis_name: str):
     packed = jnp.concatenate(
         [vals.astype(jnp.float32),
          jax.lax.bitcast_convert_type(idx, jnp.float32)], axis=-1)
-    gathered = ring_all_gather(packed, axis_name)       # (S*B, 2*k_local)
+    gathered = ring_all_gather(packed, axis_name,
+                               bidirectional=bidirectional)  # (S*B, 2*k_local)
     S = jax.lax.axis_size(axis_name)
     B = vals.shape[0]
     gathered = gathered.reshape(S, B, 2 * k_local)

@@ -203,3 +203,68 @@ def test_ring_sharded_topk_matches_dense(mesh_dp):
     ref_vals, ref_idx = jax.lax.top_k(scores, k)
     np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+
+def test_ring_all_gather_bidi_matches_xla(mesh_dp):
+    from recsys_tpu.parallel.pallas_ring import ring_all_gather
+
+    B, D = 16, 8
+    x = jnp.arange(B * D, dtype=jnp.float32).reshape(B, D)
+    f = smap(lambda e: ring_all_gather(e, "data", bidirectional=True), mesh_dp,
+             P("data", None), out_specs=P(None, None))
+    np.testing.assert_allclose(np.asarray(f(x)), np.asarray(x))
+
+
+def test_ring_all_gather_bidi_race_free(mesh_dp):
+    """Bidirectional protocol under the interpreter's vector-clock race
+    detector: per-direction buffers/semaphores must never alias."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import recsys_tpu.parallel.pallas_ring as pr
+
+    orig = pr._interpret
+    pr._interpret = lambda: pltpu.InterpretParams(
+        dma_execution_mode="on_wait", detect_races=True)
+    try:
+        B, D = 8, 4
+        x = jnp.arange(B * D, dtype=jnp.float32).reshape(B, D)
+        f = smap(lambda e: pr.ring_all_gather(e, "data", bidirectional=True),
+                 mesh_dp, P("data", None), out_specs=P(None, None))
+        np.testing.assert_allclose(np.asarray(f(x)), np.asarray(x))
+    finally:
+        pr._interpret = orig
+
+
+def test_ring_all_gather_bidi_strided_and_odd():
+    """S=4 on the strided axis of a 4x2 mesh, and an ODD ring (S=3) where
+    the clockwise direction carries one more hop than counter-clockwise."""
+    from recsys_tpu.config import MeshConfig
+    from recsys_tpu.parallel.mesh import build_mesh
+    from recsys_tpu.parallel.pallas_ring import ring_all_gather
+
+    m42 = build_mesh(MeshConfig(num_data=4, num_model=2), jax.devices()[:8])
+    B, D = 8, 4
+    x = jnp.arange(B * D, dtype=jnp.float32).reshape(B, D)
+    f = smap(lambda e: ring_all_gather(e, "data", bidirectional=True), m42,
+             P("data", None), out_specs=P(None, None))
+    np.testing.assert_allclose(np.asarray(f(x)), np.asarray(x))
+
+    m3 = build_mesh(MeshConfig(num_data=3, num_model=1), jax.devices()[:3])
+    x3 = jnp.arange(12 * D, dtype=jnp.float32).reshape(12, D)
+    f3 = smap(lambda e: ring_all_gather(e, "data", bidirectional=True), m3,
+              P("data", None), out_specs=P(None, None))
+    np.testing.assert_allclose(np.asarray(f3(x3)), np.asarray(x3))
+
+
+def test_ring_sharded_topk_bidi_matches_dense(mesh_dp):
+    from recsys_tpu.parallel.pallas_ring import ring_sharded_topk
+
+    B, N, k = 4, 64, 10
+    rng = np.random.default_rng(1)
+    scores = jnp.asarray(rng.normal(size=(B, N)).astype(np.float32))
+    f = smap(lambda s: ring_sharded_topk(s, k, "data", bidirectional=True),
+             mesh_dp, P(None, "data"), out_specs=(P(None, None), P(None, None)))
+    vals, idx = f(scores)
+    ref_vals, ref_idx = jax.lax.top_k(scores, k)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
