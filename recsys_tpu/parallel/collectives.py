@@ -59,6 +59,34 @@ def sharded_topk(scores_local: jnp.ndarray, k: int, axis_name: str):
     return top_vals, top_idx
 
 
+def sharded_topk_ring_merge(scores_local: jnp.ndarray, k: int, axis_name: str):
+    """``sharded_topk`` with the candidate merge FUSED into the ring hops.
+
+    Instead of all-gathering every shard's (B, k) candidates and doing one
+    (B, S*k) merge, the candidate sets ride a ``ppermute`` ring and each
+    device folds the arriving set into its running (B, k) each hop: per-hop
+    traffic and merge cost stay O(k) regardless of shard count, and the
+    merge compute overlaps the next hop's transfer (ROADMAP "fuse the
+    candidate merge into the hop loop"). Same contract as ``sharded_topk``.
+    """
+    n_local = scores_local.shape[-1]
+    k_local = min(k, n_local)
+    vals, idx = jax.lax.top_k(scores_local, k_local)
+    idx = idx + local_index_offset(axis_name, n_local)
+    num = jax.lax.axis_size(axis_name)
+    perm = [(i, (i + 1) % num) for i in range(num)]
+    acc_v, acc_i = vals, idx
+    cur_v, cur_i = vals, idx
+    for _ in range(num - 1):
+        cur_v = jax.lax.ppermute(cur_v, axis_name, perm)
+        cur_i = jax.lax.ppermute(cur_i, axis_name, perm)
+        merged_v = jnp.concatenate([acc_v, cur_v], axis=-1)
+        merged_i = jnp.concatenate([acc_i, cur_i], axis=-1)
+        acc_v, pos = jax.lax.top_k(merged_v, min(k, merged_v.shape[-1]))
+        acc_i = jnp.take_along_axis(merged_i, pos, axis=-1)
+    return acc_v, acc_i
+
+
 def rowsharded_lookup_a2a(table_local: jnp.ndarray, ids_local: jnp.ndarray,
                           axis_name: str) -> jnp.ndarray:
     """All-to-all row-sharded lookup for LARGE tables / sharded id batches.

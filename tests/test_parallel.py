@@ -268,3 +268,19 @@ def test_ring_sharded_topk_bidi_matches_dense(mesh_dp):
     ref_vals, ref_idx = jax.lax.top_k(scores, k)
     np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+
+def test_sharded_topk_ring_merge_matches_dense(mesh8, mesh_dp):
+    from recsys_tpu.parallel.collectives import sharded_topk_ring_merge
+
+    B, N, k = 4, 64, 10
+    rng = np.random.default_rng(2)
+    scores = jnp.asarray(rng.normal(size=(B, N)).astype(np.float32))
+    ref_vals, ref_idx = jax.lax.top_k(scores, k)
+    for mesh, axis in ((mesh8, "model"), (mesh_dp, "data")):
+        f = smap(lambda s: sharded_topk_ring_merge(s, k, axis), mesh,
+                 P(None, axis), out_specs=(P(None, None), P(None, None)))
+        vals, idx = f(scores)
+        np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
