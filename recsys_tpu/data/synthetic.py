@@ -215,45 +215,73 @@ def generate_transactions(cfg: DataConfig, items: pd.DataFrame, users: pd.DataFr
 
     pool_size = max(int(n_items * cfg.persona_pool_frac), 1)
     personas = sorted(users["persona"].unique())
-    pools = {p: set(rng.choice(n_items, pool_size, replace=False).tolist())
+    pools = {p: rng.choice(n_items, pool_size, replace=False)
              for p in personas}
 
-    recs = []
-    for _, u in users.iterrows():
+    # Availability as a PREFIX of the release-day-sorted catalog: a session
+    # at day d may draw from the first n_d items of the sorted order, so one
+    # cumulative-weight array per persona turns every basket draw into an
+    # O(log n) inverse-CDF searchsorted. (The previous per-session
+    # renormalize-the-whole-catalog form was O(n_items) per draw — minutes
+    # per 1k users at a 47k-item catalog, unusable at reference scale.)
+    order = np.argsort(release, kind="stable")
+    rel_sorted = release[order]
+
+    frames = []
+    for persona, grp in users.groupby("persona", sort=True):
+        g0 = grp.iloc[0]
         # taste mask: persona prefers matching gender & style items 4:1,
         # and its own pool by persona_pool_boost
-        affinity = np.where(item_gender == u["gender"], 4.0, 1.0)
-        affinity = affinity * np.where(item_style == u["style"], 2.0, 1.0)
-        pool = pools[u["persona"]]
+        affinity = np.where(item_gender == g0["gender"], 4.0, 1.0)
+        affinity = affinity * np.where(item_style == g0["style"], 2.0, 1.0)
         in_pool = np.zeros(n_items, bool)
-        in_pool[list(pool)] = True
+        in_pool[pools[persona]] = True
         affinity = affinity * np.where(in_pool, cfg.persona_pool_boost, 1.0)
-        history: list[int] = []
-        n_sessions = int(rng.poisson(8)) + 1
-        days = np.sort(rng.integers(0, cfg.days, size=n_sessions))
-        for day in days:
-            avail = release <= day
-            w = base_pop * affinity * avail
-            total = w.sum()
-            if total <= 0:
-                continue
-            w = w / total
-            r = rng.random()
-            basket = 1 if r < 0.3 else (2 if r < 0.6 else int(rng.integers(3, 7)))
-            chosen = rng.choice(n_items, size=min(basket, int(avail.sum())),
-                                replace=False, p=w)
-            for c in chosen:
-                if history and rng.random() < cfg.repeat_prob:
-                    c = history[rng.integers(len(history))]  # repurchase
-                history.append(int(c))
-                recs.append({
-                    "user_id": u["user_id"],
-                    "item_id": item_ids[c],
-                    "day": int(day),
-                    "price": float(price[c]),
-                    "channel": int(rng.random() < 0.7) + 1,  # 1=store, 2=online
-                })
-    df = pd.DataFrame(recs)
+        cum = np.cumsum((base_pop * affinity)[order], dtype=np.float64)
+
+        G = len(grp)
+        n_sess = rng.poisson(8, G).astype(np.int64) + 1
+        total_sessions = int(n_sess.sum())
+        days = rng.integers(0, cfg.days, size=total_sessions)
+        sess_user = np.repeat(np.arange(G), n_sess)
+        srt = np.lexsort((days, sess_user))     # day-sorted within each user
+        days, sess_user = days[srt], sess_user[srt]
+        r = rng.random(total_sessions)
+        basket = np.where(r < 0.3, 1,
+                          np.where(r < 0.6, 2,
+                                   rng.integers(3, 7, total_sessions)))
+        draw_sess = np.repeat(np.arange(total_sessions), basket)
+        d_day = days[draw_sess]
+        n_d = np.searchsorted(rel_sorted, d_day, side="right")
+        cap = np.where(n_d > 0, cum[np.maximum(n_d - 1, 0)], 0.0)
+        valid = cap > 0                          # nothing released yet -> skip
+        j = np.searchsorted(cum, rng.random(valid.sum()) * cap[valid])
+        chosen = order[np.minimum(j, np.maximum(n_d[valid] - 1, 0))]
+        d_user = sess_user[draw_sess][valid]
+        d_day = d_day[valid]
+
+        # repurchase: with repeat_prob a slot re-draws uniformly from the
+        # user's OWN earlier purchases (draws are day-ordered per user)
+        K = len(chosen)
+        repeat = rng.random(K) < cfg.repeat_prob
+        pick = rng.random(K)
+        final = chosen.copy()
+        starts = np.flatnonzero(np.diff(d_user, prepend=-1))
+        ends = np.append(starts[1:], K)
+        for s, e in zip(starts, ends):
+            for k in range(s + 1, e):
+                if repeat[k]:
+                    final[k] = final[s + int(pick[k] * (k - s))]
+
+        uid_arr = grp["user_id"].to_numpy()
+        frames.append(pd.DataFrame({
+            "user_id": uid_arr[d_user],
+            "item_id": item_ids[final],
+            "day": d_day.astype(int),
+            "price": price[final].astype(float),
+            "channel": (rng.random(K) < 0.7).astype(int) + 1,  # 1=store, 2=online
+        }))
+    df = pd.concat(frames, ignore_index=True)
     return df.sort_values(["day", "user_id"], kind="stable").reset_index(drop=True)
 
 
