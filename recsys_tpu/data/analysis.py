@@ -109,6 +109,13 @@ def sequence_distribution_stats(seqs: pd.DataFrame,
 
     ``seqs`` is `etl.make_sequences` output (a ``sequence`` list column);
     ``known_items`` optionally checks id-mapping coverage."""
+    if len(seqs) == 0:
+        out = {"len_mean": 0.0, "len_median": 0.0, "len_p90": 0.0,
+               "len_p95": 0.0, "len_max": 0, "unique_items": 0,
+               "top10pct_coverage": 0.0}
+        if known_items is not None:
+            out["unmapped_items"] = 0
+        return out
     lengths = seqs["sequence"].apply(len)
     all_items = [i for s in seqs["sequence"] for i in s]
     counts = pd.Series(all_items).value_counts()

@@ -197,6 +197,9 @@ def make_sequences(train_tx: pd.DataFrame, max_len: int = 50) -> pd.DataFrame:
     # sorted-array group slicing instead of groupby.apply: the per-group
     # Series construction made this the ETL bottleneck (162 s -> seconds on
     # a 200k-user world)
+    if len(train_tx) == 0:
+        return pd.DataFrame(columns=["user_id", "sequence",
+                                     "sequence_deltas", "seq_len"])
     df = train_tx.sort_values(["user_id", "day"], kind="stable")
     uids = df["user_id"].to_numpy()
     items = df["item_id"].to_numpy()

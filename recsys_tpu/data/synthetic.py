@@ -224,6 +224,11 @@ def generate_transactions(cfg: DataConfig, items: pd.DataFrame, users: pd.DataFr
     # O(log n) inverse-CDF searchsorted. (The previous per-session
     # renormalize-the-whole-catalog form was O(n_items) per draw — minutes
     # per 1k users at a 47k-item catalog, unusable at reference scale.)
+    # Distribution note vs the loop form: basket slots draw WITH replacement
+    # (the old rng.choice(replace=False) could not repeat within a session),
+    # so concentrated weights (small persona pools / day-0 catalogs) can put
+    # the same item twice in a basket — in-session repeats already existed
+    # through the repeat_prob path, this only adds rare extra mass there.
     order = np.argsort(release, kind="stable")
     rel_sorted = release[order]
 
@@ -261,17 +266,20 @@ def generate_transactions(cfg: DataConfig, items: pd.DataFrame, users: pd.DataFr
         d_day = d_day[valid]
 
         # repurchase: with repeat_prob a slot re-draws uniformly from the
-        # user's OWN earlier purchases (draws are day-ordered per user)
+        # user's OWN earlier purchases (draws are day-ordered per user).
+        # Only the ~repeat_prob of flagged slots need the sequential pass;
+        # ascending order keeps the chain semantics (a repeat can copy an
+        # earlier slot that was itself a repeat).
         K = len(chosen)
         repeat = rng.random(K) < cfg.repeat_prob
         pick = rng.random(K)
         final = chosen.copy()
         starts = np.flatnonzero(np.diff(d_user, prepend=-1))
-        ends = np.append(starts[1:], K)
-        for s, e in zip(starts, ends):
-            for k in range(s + 1, e):
-                if repeat[k]:
-                    final[k] = final[s + int(pick[k] * (k - s))]
+        rep_idx = np.flatnonzero(repeat)
+        rep_start = starts[np.searchsorted(starts, rep_idx, side="right") - 1]
+        for k, s in zip(rep_idx.tolist(), rep_start.tolist()):
+            if k > s:  # a user's first purchase has no history to repeat
+                final[k] = final[s + int(pick[k] * (k - s))]
 
         uid_arr = grp["user_id"].to_numpy()
         frames.append(pd.DataFrame({

@@ -68,6 +68,14 @@ def sharded_topk_ring_merge(scores_local: jnp.ndarray, k: int, axis_name: str):
     traffic and merge cost stay O(k) regardless of shard count, and the
     merge compute overlaps the next hop's transfer (ROADMAP "fuse the
     candidate merge into the hop loop"). Same contract as ``sharded_topk``.
+
+    Each device folds the candidate sets in a DIFFERENT rotation order, so
+    the per-hop merge must be order-independent or tied scores at the k
+    boundary would keep different candidates on different devices (breaking
+    the replicated-output contract). The merge therefore selects under the
+    strict total order (value desc, global index asc) via a two-key sort —
+    incremental top-k under a strict total order is exact and fold-order-
+    independent.
     """
     n_local = scores_local.shape[-1]
     k_local = min(k, n_local)
@@ -75,15 +83,20 @@ def sharded_topk_ring_merge(scores_local: jnp.ndarray, k: int, axis_name: str):
     idx = idx + local_index_offset(axis_name, n_local)
     num = jax.lax.axis_size(axis_name)
     perm = [(i, (i + 1) % num) for i in range(num)]
+
+    def merge(av, ai, bv, bi):
+        mv = jnp.concatenate([av, bv], axis=-1)
+        mi = jnp.concatenate([ai, bi], axis=-1)
+        neg_v, sorted_i = jax.lax.sort((-mv, mi), dimension=-1, num_keys=2)
+        kk = min(k, mv.shape[-1])
+        return -neg_v[..., :kk], sorted_i[..., :kk]
+
     acc_v, acc_i = vals, idx
     cur_v, cur_i = vals, idx
     for _ in range(num - 1):
         cur_v = jax.lax.ppermute(cur_v, axis_name, perm)
         cur_i = jax.lax.ppermute(cur_i, axis_name, perm)
-        merged_v = jnp.concatenate([acc_v, cur_v], axis=-1)
-        merged_i = jnp.concatenate([acc_i, cur_i], axis=-1)
-        acc_v, pos = jax.lax.top_k(merged_v, min(k, merged_v.shape[-1]))
-        acc_i = jnp.take_along_axis(merged_i, pos, axis=-1)
+        acc_v, acc_i = merge(acc_v, acc_i, cur_v, cur_i)
     return acc_v, acc_i
 
 

@@ -164,6 +164,16 @@ def cmd_vectorize(cfg: Config, args) -> dict:
     return {"matrix": p["item_matrix"], "shape": list(mat.shape)}
 
 
+def _best_epoch(history: list[dict]) -> dict:
+    """Best epoch by Recall@100 (the reference's checkpoint-selection
+    metric), falling back to the final epoch when it wasn't evaluated."""
+    if not history:
+        return {}
+    if any("recall@100" in h for h in history):
+        return max(history, key=lambda h: h.get("recall@100", 0.0))
+    return history[-1]
+
+
 def cmd_train_user(cfg: Config, args) -> dict:
     from recsys_tpu.train.checkpoint import load_array_with_ids, align_rows
     from recsys_tpu.train.sasrec import prepare_stage2, train_user_tower
@@ -181,10 +191,7 @@ def cmd_train_user(cfg: Config, args) -> dict:
     state, history, _ = train_user_tower(
         cfg, data, pretrained, _mesh(cfg), p["user_ckpts"],
         resume=getattr(args, "resume", False))
-    key_k = "recall@100" if any("recall@100" in h for h in history) else None
-    best = (max(history, key=lambda h: h.get(key_k, 0.0))
-            if history and key_k else (history[-1] if history else {}))
-    return {"epochs": len(history), "best": best,
+    return {"epochs": len(history), "best": _best_epoch(history),
             "final": history[-1] if history else {}}
 
 
@@ -378,10 +385,7 @@ def cmd_train_hybrid(cfg: Config, args) -> dict:
         gnn_model = H.topm_for_model(gu_aligned, gnn_mat, m, normalize_items=False)
     report = H.ensemble_report(seq_model, gnn_model, user_ids,
                                data["targets_idx"], ks=cfg.user_train.eval_ks)
-    key_k = "recall@100" if any("recall@100" in h for h in history) else None
-    best_h = (max(history, key=lambda h: h.get(key_k, 0.0))
-              if history and key_k else (history[-1] if history else {}))
-    out = {"hybrid_best": best_h,
+    out = {"hybrid_best": _best_epoch(history),
            "hybrid_final": history[-1] if history else {},
            "ensemble": {k: (v if k.startswith("standalone") else
                             {"best_alpha": v["best_alpha"], "best": v["best"]})

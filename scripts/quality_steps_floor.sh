@@ -3,7 +3,7 @@
 # (steps_per_epoch_min=100 default). The original loss-zoo ablation ran
 # ONE optimizer step per epoch on these worlds (see RESULTS.md); this
 # re-measures the leaders (logq, margin) properly trained.
-set -u
+set -u -o pipefail
 cd "$(dirname "$0")/.."
 OUT=artifacts/quality_steps_floor
 mkdir -p "$OUT"
@@ -13,10 +13,10 @@ run_world () {          # $1 = tag, $2.. = world SETS
   local WD="$OUT/$tag"
   local SETS="--set data.root=$WD $*"
   python -m recsys_tpu.pipeline.cli gen-data $SETS || return 1
-  python -m recsys_tpu.pipeline.cli etl $SETS | tee "$OUT/$tag.etl.json"
+  python -m recsys_tpu.pipeline.cli etl $SETS | tee "$OUT/$tag.etl.json" || return 1
   timeout 3600 python -m recsys_tpu.pipeline.cli train-item $SETS \
-    --set simcse.epochs=3 | tee "$OUT/$tag.item.json"
-  python -m recsys_tpu.pipeline.cli vectorize $SETS
+    --set simcse.epochs=3 | tee "$OUT/$tag.item.json" || return 1
+  python -m recsys_tpu.pipeline.cli vectorize $SETS || return 1
   for variant in logq margin; do
     rm -rf "$WD/ckpt_user"
     timeout 7200 python -m recsys_tpu.pipeline.cli train-user $SETS \

@@ -284,3 +284,29 @@ def test_sharded_topk_ring_merge_matches_dense(mesh8, mesh_dp):
         np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals),
                                    rtol=1e-6)
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+
+def test_sharded_topk_ring_merge_tie_determinism(mesh_dp):
+    """Tied scores at the k boundary: every device must keep the SAME
+    candidate set despite folding the ring in a different rotation order
+    (strict total-order merge), or the replicated-output contract breaks."""
+    from recsys_tpu.parallel.collectives import sharded_topk_ring_merge
+
+    B, N, k = 2, 64, 8
+    # heavy ties: only 4 distinct score values across 64 columns
+    rng = np.random.default_rng(3)
+    scores = jnp.asarray(rng.integers(0, 4, size=(B, N)).astype(np.float32))
+    # expose each device's answer instead of assuming replication
+    f = smap(lambda s: tuple(v[None] for v in
+                             sharded_topk_ring_merge(s, k, "data")),
+             mesh_dp, P(None, "data"),
+             out_specs=(P("data", None, None), P("data", None, None)))
+    vals, idx = f(scores)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    for d in range(1, vals.shape[0]):
+        np.testing.assert_array_equal(idx[d], idx[0])
+        np.testing.assert_array_equal(vals[d], vals[0])
+    # and the kept set matches dense top-k with (value desc, idx asc) order
+    ref_vals, ref_idx = jax.lax.top_k(scores, k)
+    np.testing.assert_array_equal(vals[0], np.asarray(ref_vals))
+    np.testing.assert_array_equal(idx[0], np.asarray(ref_idx))
