@@ -131,6 +131,12 @@ class UserTrainConfig:
     # sweep showed extra passes degrade it monotonically (epoch-1 Recall@100
     # 19.1% → 13.8% by epoch 15 on the 1k-user world vs 35.6% at floor 1).
     hybrid_steps_per_epoch_min: int = 1
+    # checkpoint cadence: epochs that neither improve Recall@100 nor land on
+    # the cadence (nor are the final epoch) skip the state snapshot — at
+    # reference scale a full-state save costs ~90 s through the device
+    # tunnel, rivaling the epoch's train time. 1 = reference behavior
+    # (every epoch). Resume granularity degrades to the last saved epoch.
+    ckpt_every: int = 1
     plateau_factor: float = 0.5    # ReduceLROnPlateau on Recall@100
     plateau_patience: int = 2
     kernel: str = "auto"           # contrastive kernel: auto | pallas | xla

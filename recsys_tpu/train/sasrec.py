@@ -207,42 +207,62 @@ def _slice(tensors: dict, idx: np.ndarray) -> dict:
 
 
 def collect_user_vectors(cfg: Config, state_params, user_vectors_fn, data,
-                         mesh, batch_size: int | None = None):
-    """Forward every eval user through the tower -> (uvecs (B,D), user_ids)."""
+                         mesh, batch_size: int | None = None,
+                         rows: np.ndarray | None = None):
+    """Forward eval users through the tower -> (uvecs (B,D), user_ids).
+    ``rows`` optionally restricts to a subset of tensor rows."""
     tensors = data["tensors"]
-    n = tensors["input_ids"].shape[0]
+    all_rows = (np.arange(tensors["input_ids"].shape[0])
+                if rows is None else np.asarray(rows))
+    n = len(all_rows)
     bs = batch_size or cfg.user_train.batch_size
     vecs, uids = [], []
+    user_ids = tensors["user_ids"]
     for s in range(0, n, bs):
-        idx = np.arange(s, min(s + bs, n))
+        idx = all_rows[s:min(s + bs, n)]
         orig = len(idx)
         if orig < bs:
             idx = np.concatenate([idx, np.zeros(bs - orig, np.int64)])
         batch = jax.device_put(_slice(tensors, idx), data_sharding(mesh))
         u = user_vectors_fn(state_params, batch)
         vecs.append(np.asarray(u)[:orig])
-        uids.extend(tensors["user_ids"][s:s + orig])
+        uids.extend(user_ids[r] for r in all_rows[s:s + orig])
+    if not vecs:
+        return np.zeros((0, cfg.user_tower.d_model), np.float32), uids
     return np.concatenate(vecs), uids
 
 
 def evaluate_stage2(cfg: Config, state_params, user_vectors_fn, data, mesh,
                     batch_size: int | None = None) -> dict:
+    # only users WITH validation targets are scored (the reference filters
+    # to target-parquet users before scoring, `v1_usertower_train.py:651-658`
+    # — on a 200k-user world this is a 6x eval cut with identical metrics,
+    # since recall_at_ks drops target-less users from the denominator anyway)
+    targets = data["targets_idx"]
+    user_ids = data["tensors"]["user_ids"]
+    rows = np.array([r for r, u in enumerate(user_ids) if u in targets],
+                    np.int64)
     uvecs, uids = collect_user_vectors(cfg, state_params, user_vectors_fn,
-                                       data, mesh, batch_size)
-    item_matrix = np.asarray(state_params["item"]["item_matrix"])
+                                       data, mesh, batch_size, rows=rows)
+    # ONE device upload of the item matrix — re-uploading the (N+1, D)
+    # matrix per batch dominated eval wall-clock at reference catalog scale
+    item_dev = jnp.asarray(state_params["item"]["item_matrix"])
     max_k = max(cfg.user_train.eval_ks)
     bs = batch_size or cfg.user_train.batch_size
     n = len(uvecs)
+    if n == 0:
+        return recall_at_ks(np.zeros((0, max_k), np.int64), [], targets,
+                            cfg.user_train.eval_ks)
     padded = np.concatenate([uvecs, np.zeros((-n % bs, uvecs.shape[1]),
                                              uvecs.dtype)]) if n % bs else uvecs
     all_idx = []
     norm = cfg.user_train.eval_score != "dot"
     for s in range(0, len(padded), bs):
         _, top = topk_scores(jnp.asarray(padded[s:s + bs]),
-                             jnp.asarray(item_matrix), max_k, mesh=mesh,
+                             item_dev, max_k, mesh=mesh,
                              normalize_items=norm)
         all_idx.append(np.asarray(top))
-    return recall_at_ks(np.concatenate(all_idx)[:n], uids, data["targets_idx"],
+    return recall_at_ks(np.concatenate(all_idx)[:n], uids, targets,
                         cfg.user_train.eval_ks)
 
 
@@ -302,9 +322,12 @@ def train_user_tower(cfg: Config, data: dict, pretrained_matrix: np.ndarray | No
                      **{f"imp_{k}": v for k, v in static_branch_importance(
                          state.params["user"], cfg.user_tower).items()})
         history.append(metrics)
+        improved = plateau.best is None or r100 > plateau.best
         scale = plateau.update(r100)
         state = state.replace(opt_state=set_lr_factor(state.opt_state, scale))
-        store.save(f"ep{epoch:03d}", state, step=gstep, metric=r100,
-                   extra={"epoch": epoch, "plateau_best": plateau.best,
-                          "plateau_scale": plateau.scale, **metrics})
+        # snapshot on improvement, on the ckpt_every cadence, and at the end
+        if improved or epoch % ut.ckpt_every == 0 or epoch == ut.epochs:
+            store.save(f"ep{epoch:03d}", state, step=gstep, metric=r100,
+                       extra={"epoch": epoch, "plateau_best": plateau.best,
+                              "plateau_scale": plateau.scale, **metrics})
     return state, history, (models, user_vectors_fn)

@@ -16,7 +16,7 @@ timeout 7200 python -m recsys_tpu.pipeline.cli train-item $SETS \
   --set simcse.epochs=3 | tee "$OUT/item.json" || exit 1
 python -m recsys_tpu.pipeline.cli vectorize $SETS || exit 1
 timeout 10800 python -m recsys_tpu.pipeline.cli train-user $SETS \
-  | tee "$OUT/user.json"
+  --set user_train.ckpt_every=5 | tee "$OUT/user.json"
 timeout 7200 python -m recsys_tpu.pipeline.cli train-gnn $SETS \
   --set gnn.epochs=5 | tee "$OUT/gnn.json"
 timeout 3600 python -m recsys_tpu.pipeline.cli distill $SETS | tee "$OUT/distill.json"
