@@ -358,16 +358,19 @@ def cmd_train_hybrid(cfg: Config, args) -> dict:
     # ensemble report: hybrid retrieval vs distilled-GNN retrieval
     import jax.numpy as jnp
     tensors = data["tensors"]
-    n = tensors["input_ids"].shape[0]
+    # ensemble scoring over target users only (recall drops the rest anyway)
+    rows = np.array([r for r, u in enumerate(uids) if u in data["targets_idx"]],
+                    np.int64)
+    n = len(rows)
     bs = min(cfg.user_train.batch_size, max(n - n % 8, 8))
     uvecs = []
     for s in range(0, n - n % bs, bs):
-        idx = np.arange(s, s + bs)
+        idx = rows[s:s + bs]
         batch = {k: jnp.asarray(v[idx]) for k, v in tensors.items() if k != "user_ids"}
         uvecs.append(np.asarray(uv_fn(state.params, batch,
                                       jnp.asarray(gnn_users[idx]))))
     uvecs = np.concatenate(uvecs) if uvecs else np.zeros((0, 128), np.float32)
-    user_ids = uids[: len(uvecs)]
+    user_ids = [uids[r] for r in rows[: len(uvecs)]]
     m = min(1000, len(data["item_map"]))
     seq_model = H.topm_for_model(uvecs, np.asarray(im_fn(state.params)), m,
                                  normalize_items=False)

@@ -129,6 +129,7 @@ def train_hybrid(cfg: Config, data: dict, content: np.ndarray,
 
     gstep = 0
     history = []
+    best_metric = -float("inf")
     # small worlds: multiple shuffled passes per epoch (see
     # UserTrainConfig.hybrid_steps_per_epoch_min)
     passes = max(1, -(-ut.hybrid_steps_per_epoch_min // max(n // bs, 1)))
@@ -147,9 +148,14 @@ def train_hybrid(cfg: Config, data: dict, content: np.ndarray,
         metrics = hybrid_eval(cfg, state.params, uv_fn, im_fn, data, gnn_users, mesh, bs)
         writer.write("eval", epoch, **metrics)
         history.append(metrics)
-        store.save(f"ep{epoch:03d}", state, step=gstep,
-                   metric=metrics.get("recall@100", metrics.get("recall@20", 0.0)),
-                   extra={"epoch": epoch})
+        m = metrics.get("recall@100", metrics.get("recall@20", 0.0))
+        improved = m > best_metric
+        best_metric = max(best_metric, m)
+        # snapshot on improvement, on cadence, and at the end (see
+        # UserTrainConfig.ckpt_every — full-state saves are tunnel-expensive)
+        if improved or epoch % ut.ckpt_every == 0 or epoch == ut.epochs:
+            store.save(f"ep{epoch:03d}", state, step=gstep, metric=m,
+                       extra={"epoch": epoch})
     # best-checkpoint selection on Recall@100 (reference protocol,
     # `v1_usertower_train.py:1015-1022`): hand the winner back to callers
     try:
@@ -162,12 +168,18 @@ def train_hybrid(cfg: Config, data: dict, content: np.ndarray,
 def hybrid_eval(cfg: Config, params, uv_fn, im_fn, data, gnn_users, mesh,
                 bs: int) -> dict:
     tensors = data["tensors"]
-    n = tensors["input_ids"].shape[0]
+    targets = data["targets_idx"]
+    user_ids = tensors["user_ids"]
+    # score only users with validation targets (metric-identical — see
+    # evaluate_stage2; a 6x eval cut at reference catalog scale)
+    rows = np.array([r for r, u in enumerate(user_ids) if u in targets],
+                    np.int64)
+    n = len(rows)
     item_matrix = im_fn(params)
     max_k = max(cfg.user_train.eval_ks)
     all_idx, uids = [], []
     for s in range(0, n, bs):
-        idx = np.arange(s, min(s + bs, n))
+        idx = rows[s:min(s + bs, n)]
         orig = len(idx)
         if orig < bs:
             idx = np.concatenate([idx, np.zeros(bs - orig, np.int64)])
@@ -176,8 +188,11 @@ def hybrid_eval(cfg: Config, params, uv_fn, im_fn, data, gnn_users, mesh,
         _, top = topk_scores(u, item_matrix, max_k, mesh=mesh,
                              normalize_items=False)
         all_idx.append(np.asarray(top)[:orig])
-        uids.extend(tensors["user_ids"][s:s + orig])
-    return recall_at_ks(np.concatenate(all_idx), uids, data["targets_idx"],
+        uids.extend(user_ids[r] for r in rows[s:s + orig])
+    if not all_idx:
+        return recall_at_ks(np.zeros((0, max_k), np.int64), [], targets,
+                            cfg.user_train.eval_ks)
+    return recall_at_ks(np.concatenate(all_idx), uids, targets,
                         cfg.user_train.eval_ks)
 
 
