@@ -95,30 +95,43 @@ def blend_sweep(user_vecs: np.ndarray, item_matrix: np.ndarray,
 
         score = (1-alpha) * minmax_u(cos) + alpha * minmax(logq) + beta * seen
 
-    Host numpy here (eval-scale); at production scale the same blend rides
-    ``topk_scores(prior=...)`` on the row-sharded TPU path.
+    Host numpy here (eval-scale), CHUNKED over users — an unchunked score
+    matrix is ~6 GB per array at 31k eval users x 47k items; at production
+    scale the same blend rides ``topk_scores(prior=...)`` on the
+    row-sharded TPU path.
     """
-    items = np.asarray(item_matrix, np.float64)
+    # np.array (copy): asarray of a device buffer can hand back a
+    # read-only view, breaking the in-place normalize
+    items = np.array(item_matrix, np.float32)
     items /= np.clip(np.linalg.norm(items, axis=-1, keepdims=True), 1e-12, None)
-    u = np.asarray(user_vecs, np.float64)
-    cos = u @ items.T                                       # (B, N+1)
-    cos = (cos - cos.min(1, keepdims=True)) / \
-        np.clip(cos.max(1, keepdims=True) - cos.min(1, keepdims=True), 1e-12, None)
-    pop = _minmax(np.asarray(logq, np.float64))
-    seen = np.zeros_like(cos)
-    rows = np.repeat(np.arange(len(histories)), histories.shape[1])
-    seen[rows, histories.reshape(-1)] = 1.0
+    u = np.asarray(user_vecs, np.float32)
+    pop = _minmax(np.asarray(logq, np.float64)).astype(np.float32)
     max_k = max(ks)
-    table: dict = {}
-    for alpha in alphas:
-        for beta in betas:
+    combos = [(a, b) for a in alphas for b in betas]
+    idx_parts: dict = {c: [] for c in combos}
+    chunk = 2048
+    for s0 in range(0, len(u), chunk):
+        cos = u[s0:s0 + chunk] @ items.T                    # (C, N+1)
+        cos = (cos - cos.min(1, keepdims=True)) / \
+            np.clip(cos.max(1, keepdims=True) - cos.min(1, keepdims=True),
+                    1e-12, None)
+        h = histories[s0:s0 + chunk]
+        seen = np.zeros_like(cos)
+        rows = np.repeat(np.arange(len(h)), h.shape[1])
+        seen[rows, h.reshape(-1)] = 1.0
+        for alpha, beta in combos:
             s = (1 - alpha) * cos + alpha * pop[None, :] + beta * seen
             s[:, 0] = -np.inf
             idx = np.argpartition(-s, max_k, axis=1)[:, :max_k]
             order = np.take_along_axis(s, idx, 1).argsort(1)[:, ::-1]
-            idx = np.take_along_axis(idx, order, 1)
-            table[f"a{alpha}_b{beta}"] = recall_at_ks(idx, user_ids,
-                                                      targets_idx, ks)
+            idx_parts[(alpha, beta)].append(np.take_along_axis(idx, order, 1))
+    table: dict = {}
+    for alpha, beta in combos:
+        idx = (np.concatenate(idx_parts[(alpha, beta)])
+               if idx_parts[(alpha, beta)]
+               else np.zeros((0, max_k), np.int64))
+        table[f"a{alpha}_b{beta}"] = recall_at_ks(idx, user_ids,
+                                                  targets_idx, ks)
     key = f"recall@{sorted(ks)[min(1, len(ks) - 1)]}"
     best = max(table, key=lambda t: table[t][key])
     return {"table": table, "best": best, "best_metrics": table[best]}

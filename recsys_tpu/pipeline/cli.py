@@ -318,9 +318,15 @@ def cmd_eval(cfg: Config, args) -> dict:
     metrics["baselines"] = baseline_report(
         data["tensors"], data["logq"], data["targets_idx"],
         ks=cfg.user_train.eval_ks)
-    uvecs, uids = collect_user_vectors(cfg, params, uv_fn, data, _mesh(cfg), bs)
     tens = data["tensors"]
-    hist = np.concatenate([tens["input_ids"], tens["target_ids"][:, -1:]], 1)
+    # blend sweep over target users only (metric-identical; the full-user
+    # host score matrix is ~75 GB at 200k users x 47k items)
+    rows = np.array([r for r, u in enumerate(tens["user_ids"])
+                     if u in data["targets_idx"]], np.int64)
+    uvecs, uids = collect_user_vectors(cfg, params, uv_fn, data, _mesh(cfg),
+                                       bs, rows=rows)
+    hist = np.concatenate([tens["input_ids"][rows],
+                           tens["target_ids"][rows][:, -1:]], 1)
     blend = blend_sweep(uvecs, np.asarray(params["item"]["item_matrix"]),
                         data["logq"], hist, uids, data["targets_idx"],
                         ks=cfg.user_train.eval_ks)

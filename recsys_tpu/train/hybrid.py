@@ -197,11 +197,23 @@ def hybrid_eval(cfg: Config, params, uv_fn, im_fn, data, gnn_users, mesh,
 
 
 def topm_for_model(user_vecs: np.ndarray, item_matrix: np.ndarray, m: int,
-                   mesh=None, normalize_items: bool = True):
-    """Per-user top-M candidates (ids + scores) — ensemble building block."""
-    vals, idx = topk_scores(jnp.asarray(user_vecs), jnp.asarray(item_matrix),
-                            m, mesh=mesh, normalize_items=normalize_items)
-    return np.asarray(idx), np.asarray(vals)
+                   mesh=None, normalize_items: bool = True,
+                   batch_size: int = 2048):
+    """Per-user top-M candidates (ids + scores) — ensemble building block.
+
+    Chunked over users: an unchunked (U, N) score matrix OOMs the chip at
+    catalog scale (31k eval users x 47k items ~ 6 GB of scores + sort
+    temps). The item matrix is device-put once."""
+    im = jnp.asarray(item_matrix)
+    idxs, valss = [], []
+    for s in range(0, len(user_vecs), batch_size):
+        vals, idx = topk_scores(jnp.asarray(user_vecs[s:s + batch_size]), im,
+                                m, mesh=mesh, normalize_items=normalize_items)
+        idxs.append(np.asarray(idx))
+        valss.append(np.asarray(vals))
+    if not idxs:
+        return (np.zeros((0, m), np.int64), np.zeros((0, m), np.float32))
+    return np.concatenate(idxs), np.concatenate(valss)
 
 
 def ensemble_report(model_a: tuple, model_b: tuple, user_ids, targets_idx,
