@@ -98,3 +98,11 @@ def evaluate_retrieval(forward_fn, batches, item_matrix, targets_idx,
     if not all_idx:
         return {f"recall@{k}": 0.0 for k in ks} | {"n_eval": 0}
     return recall_at_ks(np.concatenate(all_idx), all_uids, targets_idx, ks)
+
+
+def target_rows(user_ids, targets_idx: dict) -> np.ndarray:
+    """Row indices of users that have validation targets — the shared
+    eval-filtering step (recall_at_ks drops target-less users from the
+    denominator, so scoring them is pure waste)."""
+    return np.array([r for r, u in enumerate(user_ids) if u in targets_idx],
+                    np.int64)

@@ -318,11 +318,11 @@ def cmd_eval(cfg: Config, args) -> dict:
     metrics["baselines"] = baseline_report(
         data["tensors"], data["logq"], data["targets_idx"],
         ks=cfg.user_train.eval_ks)
+    from recsys_tpu.eval.recall import target_rows
     tens = data["tensors"]
     # blend sweep over target users only (metric-identical; the full-user
     # host score matrix is ~75 GB at 200k users x 47k items)
-    rows = np.array([r for r, u in enumerate(tens["user_ids"])
-                     if u in data["targets_idx"]], np.int64)
+    rows = target_rows(tens["user_ids"], data["targets_idx"])
     uvecs, uids = collect_user_vectors(cfg, params, uv_fn, data, _mesh(cfg),
                                        bs, rows=rows)
     hist = np.concatenate([tens["input_ids"][rows],
@@ -365,8 +365,8 @@ def cmd_train_hybrid(cfg: Config, args) -> dict:
     import jax.numpy as jnp
     tensors = data["tensors"]
     # ensemble scoring over target users only (recall drops the rest anyway)
-    rows = np.array([r for r, u in enumerate(uids) if u in data["targets_idx"]],
-                    np.int64)
+    from recsys_tpu.eval.recall import target_rows
+    rows = target_rows(uids, data["targets_idx"])
     n = len(rows)
     bs = min(cfg.user_train.batch_size, max(n - n % 8, 8))
     uvecs = []

@@ -218,3 +218,11 @@ def align_rows(array: np.ndarray, ids: Sequence[str], target_ids: Sequence[str],
             out[r] = array[src]
             found[r] = True
     return out, found
+
+
+def snapshot_due(epoch: int, total_epochs: int, every: int,
+                 improved: bool) -> bool:
+    """Shared snapshot cadence: save on metric improvement, on the ``every``
+    cadence, and always at the final epoch (full-state saves are expensive
+    through the device tunnel — see UserTrainConfig.ckpt_every)."""
+    return improved or epoch % every == 0 or epoch == total_epochs

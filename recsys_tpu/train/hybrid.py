@@ -21,13 +21,13 @@ import optax
 from recsys_tpu.config import Config
 from recsys_tpu.data.dataset import batch_iterator
 from recsys_tpu.eval.ensemble import alpha_sweep
-from recsys_tpu.eval.recall import recall_at_ks, topk_scores
+from recsys_tpu.eval.recall import recall_at_ks, target_rows, topk_scores
 from recsys_tpu.models.hybrid_tower import HybridUserTower
 from recsys_tpu.models.layers import l2_normalize
 from recsys_tpu.ops.augment import random_cut
 from recsys_tpu.ops.contrastive import corrected_logq_with_recovery
 from recsys_tpu.parallel.mesh import data_sharding, replicated
-from recsys_tpu.train.checkpoint import CheckpointStore, align_rows
+from recsys_tpu.train.checkpoint import CheckpointStore, align_rows, snapshot_due
 from recsys_tpu.train.metrics import MetricWriter
 from recsys_tpu.train.sasrec import _slice
 from recsys_tpu.train.state import TrainState
@@ -151,9 +151,7 @@ def train_hybrid(cfg: Config, data: dict, content: np.ndarray,
         m = metrics.get("recall@100", metrics.get("recall@20", 0.0))
         improved = m > best_metric
         best_metric = max(best_metric, m)
-        # snapshot on improvement, on cadence, and at the end (see
-        # UserTrainConfig.ckpt_every — full-state saves are tunnel-expensive)
-        if improved or epoch % ut.ckpt_every == 0 or epoch == ut.epochs:
+        if snapshot_due(epoch, ut.epochs, ut.ckpt_every, improved):
             store.save(f"ep{epoch:03d}", state, step=gstep, metric=m,
                        extra={"epoch": epoch})
     # best-checkpoint selection on Recall@100 (reference protocol,
@@ -172,12 +170,12 @@ def hybrid_eval(cfg: Config, params, uv_fn, im_fn, data, gnn_users, mesh,
     user_ids = tensors["user_ids"]
     # score only users with validation targets (metric-identical — see
     # evaluate_stage2; a 6x eval cut at reference catalog scale)
-    rows = np.array([r for r, u in enumerate(user_ids) if u in targets],
-                    np.int64)
+    rows = target_rows(user_ids, targets)
     n = len(rows)
     item_matrix = im_fn(params)
     max_k = max(cfg.user_train.eval_ks)
-    all_idx, uids = [], []
+    uids = [user_ids[r] for r in rows]
+    all_idx = []
     for s in range(0, n, bs):
         idx = rows[s:min(s + bs, n)]
         orig = len(idx)
@@ -188,7 +186,6 @@ def hybrid_eval(cfg: Config, params, uv_fn, im_fn, data, gnn_users, mesh,
         _, top = topk_scores(u, item_matrix, max_k, mesh=mesh,
                              normalize_items=False)
         all_idx.append(np.asarray(top)[:orig])
-        uids.extend(user_ids[r] for r in rows[s:s + orig])
     if not all_idx:
         return recall_at_ks(np.zeros((0, max_k), np.int64), [], targets,
                             cfg.user_train.eval_ks)

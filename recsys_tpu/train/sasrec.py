@@ -30,13 +30,13 @@ import optax
 from recsys_tpu.config import Config
 from recsys_tpu.data import etl
 from recsys_tpu.data.dataset import batch_iterator, build_sasrec_tensors, build_side_info
-from recsys_tpu.eval.recall import recall_at_ks, topk_scores
+from recsys_tpu.eval.recall import recall_at_ks, target_rows, topk_scores
 from recsys_tpu.models.layers import l2_normalize
 from recsys_tpu.models.user_tower import SASRecItemTower, SASRecUserTower
 from recsys_tpu.ops import select_logq_loss
 from recsys_tpu.ops.contrastive import duorec_loss
 from recsys_tpu.parallel.mesh import data_sharding, replicated
-from recsys_tpu.train.checkpoint import CheckpointStore, align_rows
+from recsys_tpu.train.checkpoint import CheckpointStore, align_rows, snapshot_due
 from recsys_tpu.train.metrics import (
     MetricWriter, gate_weights, static_branch_importance)
 from recsys_tpu.train.state import (
@@ -216,8 +216,9 @@ def collect_user_vectors(cfg: Config, state_params, user_vectors_fn, data,
                 if rows is None else np.asarray(rows))
     n = len(all_rows)
     bs = batch_size or cfg.user_train.batch_size
-    vecs, uids = [], []
     user_ids = tensors["user_ids"]
+    uids = [user_ids[r] for r in all_rows]
+    vecs = []
     for s in range(0, n, bs):
         idx = all_rows[s:min(s + bs, n)]
         orig = len(idx)
@@ -226,7 +227,6 @@ def collect_user_vectors(cfg: Config, state_params, user_vectors_fn, data,
         batch = jax.device_put(_slice(tensors, idx), data_sharding(mesh))
         u = user_vectors_fn(state_params, batch)
         vecs.append(np.asarray(u)[:orig])
-        uids.extend(user_ids[r] for r in all_rows[s:s + orig])
     if not vecs:
         return np.zeros((0, cfg.user_tower.d_model), np.float32), uids
     return np.concatenate(vecs), uids
@@ -239,9 +239,7 @@ def evaluate_stage2(cfg: Config, state_params, user_vectors_fn, data, mesh,
     # — on a 200k-user world this is a 6x eval cut with identical metrics,
     # since recall_at_ks drops target-less users from the denominator anyway)
     targets = data["targets_idx"]
-    user_ids = data["tensors"]["user_ids"]
-    rows = np.array([r for r, u in enumerate(user_ids) if u in targets],
-                    np.int64)
+    rows = target_rows(data["tensors"]["user_ids"], targets)
     uvecs, uids = collect_user_vectors(cfg, state_params, user_vectors_fn,
                                        data, mesh, batch_size, rows=rows)
     # ONE device upload of the item matrix — re-uploading the (N+1, D)
@@ -325,8 +323,7 @@ def train_user_tower(cfg: Config, data: dict, pretrained_matrix: np.ndarray | No
         improved = plateau.best is None or r100 > plateau.best
         scale = plateau.update(r100)
         state = state.replace(opt_state=set_lr_factor(state.opt_state, scale))
-        # snapshot on improvement, on the ckpt_every cadence, and at the end
-        if improved or epoch % ut.ckpt_every == 0 or epoch == ut.epochs:
+        if snapshot_due(epoch, ut.epochs, ut.ckpt_every, improved):
             store.save(f"ep{epoch:03d}", state, step=gstep, metric=r100,
                        extra={"epoch": epoch, "plateau_best": plateau.best,
                               "plateau_scale": plateau.scale, **metrics})
