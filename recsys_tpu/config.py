@@ -246,6 +246,14 @@ class DataConfig:
     persona_pool_frac: float = 0.15
     persona_pool_boost: float = 8.0
     repeat_prob: float = 0.25
+    # latent micro-style cluster structure (per-user learnable signal):
+    # items join feature-coherent clusters (auto: ~64 items each), users
+    # subscribe to a few, and user_pool_prob of basket slots draw from the
+    # user's subscribed clusters
+    n_item_clusters: int = 0       # 0 = auto (num_items // 64, min 8)
+    user_clusters: int = 3
+    user_pool_prob: float = 0.6
+    pop_zipf: float = 0.6          # global popularity skew exponent
 
 
 @dataclass(frozen=True)

@@ -53,6 +53,81 @@ def _persona_id(age: str, gender: str, style: str) -> str:
     return f"{gender}_{age}_{style}"
 
 
+# -- latent micro-style clusters -------------------------------------------
+#
+# The 16-persona world caps what any model can learn: every user in a persona
+# shares one big pool, so per-user signal is only the repeat path (the "mid
+# world plateaus ~5%" finding). Real catalogs have micro-structure: users
+# shop a handful of coherent item neighborhoods ("micro-styles"), and those
+# neighborhoods co-occur across users — the item-item co-occurrence signal
+# sequence models and the GNN actually feed on. Here that structure is
+# explicit latent ground truth: items get feature-coherent clusters, users
+# subscribe to a few clusters, and a knob-controlled share of basket slots
+# draws from the user's subscribed clusters.
+
+def _assign_item_clusters(items: pd.DataFrame, n_clusters: int,
+                          rng: np.random.Generator):
+    """Feature-coherent latent clusters.
+
+    Within each (gender, style) cell, items sorted by (type, material,
+    colour) are chunked into contiguous micro-style clusters — cluster mates
+    look alike (content-learnable) *and* co-occur in subscriber histories
+    (sequence/graph-learnable). 10% label noise keeps cells from being
+    perfectly separable. Returns the per-item cluster-id array.
+    """
+    n = len(items)
+    cluster = np.zeros(n, np.int64)
+    cells = items.groupby(["gender", "style"], sort=True).indices
+    next_id = 0
+    for key in sorted(cells):
+        idx = np.asarray(cells[key])
+        nc = max(1, round(n_clusters * len(idx) / n))
+        sub = items.iloc[idx]
+        order = np.lexsort((sub["colour_group_name"].to_numpy(),
+                            sub["material"].to_numpy(),
+                            sub["product_type_name"].to_numpy()))
+        for j, chunk in enumerate(np.array_split(idx[order], nc)):
+            cluster[chunk] = next_id + j
+        next_id += nc
+    noise = rng.random(n) < 0.1
+    cluster[noise] = rng.integers(0, next_id, int(noise.sum()))
+    return cluster
+
+
+def _cluster_cells(items: pd.DataFrame, cluster: np.ndarray,
+                   n_clusters: int) -> np.ndarray:
+    """Majority (gender, style) cell per cluster (cells are 0..3 over the
+    sorted gender x style grid)."""
+    cell_names = [(g, s) for g in sorted(GENDERS) for s in sorted(STYLES)]
+    cell_key = {c: i for i, c in enumerate(cell_names)}
+    item_cell = np.array([cell_key[(g, s)] for g, s in
+                          zip(items["gender"], items["style"])])
+    counts = np.bincount(cluster * 4 + item_cell,
+                         minlength=n_clusters * 4).reshape(n_clusters, 4)
+    return counts.argmax(axis=1)
+
+
+def _subscribe_users(users: pd.DataFrame, cell_of_cluster: np.ndarray,
+                     cluster_pop: np.ndarray, n_clusters: int, per_user: int,
+                     rng: np.random.Generator) -> np.ndarray:
+    """(num_users, per_user) cluster subscriptions: popularity-weighted with
+    a 4:1 preference for clusters of the user's own (gender, style) cell —
+    popular clusters get many subscribers, preserving the LogQ skew."""
+    cell_names = [(g, s) for g in sorted(GENDERS) for s in sorted(STYLES)]
+    cell_key = {c: i for i, c in enumerate(cell_names)}
+    subs = np.zeros((len(users), per_user), np.int64)
+    user_cell = np.array([cell_key[(g, s)] for g, s in
+                          zip(users["gender"], users["style"])])
+    for cell_id in range(len(cell_names)):
+        rows = np.flatnonzero(user_cell == cell_id)
+        if rows.size == 0:
+            continue
+        w = cluster_pop * np.where(cell_of_cluster == cell_id, 4.0, 1.0)
+        p = w / w.sum()
+        subs[rows] = rng.choice(n_clusters, size=(rows.size, per_user), p=p)
+    return subs
+
+
 def generate_items(cfg: DataConfig, rng: np.random.Generator) -> pd.DataFrame:
     """Item master with STD fields, price, release day and measurements."""
     n = cfg.num_items
@@ -202,8 +277,11 @@ def generate_transactions(cfg: DataConfig, items: pd.DataFrame, users: pd.DataFr
         from the user's own history — the signal sequence models feed on.
     """
     n_items = len(items)
-    # global popularity skew (Zipf) — the LogQ source
-    pop = 1.0 / np.arange(1, n_items + 1) ** 0.9
+    # global popularity skew (Zipf) — the LogQ source. The exponent is a
+    # knob: 0.9 concentrates ~half the recall@100 mass in the global top-100
+    # on a 2k catalog (popularity baseline ~48%, drowning personalization);
+    # real retail (H&M) is flatter.
+    pop = 1.0 / np.arange(1, n_items + 1) ** cfg.pop_zipf
     perm = rng.permutation(n_items)
     base_pop = np.zeros(n_items)
     base_pop[perm] = pop
@@ -217,6 +295,28 @@ def generate_transactions(cfg: DataConfig, items: pd.DataFrame, users: pd.DataFr
     personas = sorted(users["persona"].unique())
     pools = {p: rng.choice(n_items, pool_size, replace=False)
              for p in personas}
+
+    # latent micro-style clusters + per-user subscriptions (see module note)
+    if "latent_cluster" in items.columns:
+        cluster = items["latent_cluster"].to_numpy()
+    else:
+        cluster = _assign_item_clusters(
+            items, cfg.n_item_clusters or max(n_items // 64, 8), rng)
+    n_clusters = int(cluster.max()) + 1
+    cell_of_cluster = _cluster_cells(items, cluster, n_clusters)
+    cluster_pop = np.bincount(cluster, weights=base_pop, minlength=n_clusters) + 1e-9
+    subs = _subscribe_users(users, cell_of_cluster, cluster_pop, n_clusters,
+                            cfg.user_clusters, rng)
+    # per-cluster release-sorted member lists + popularity cums, so an
+    # availability-filtered within-cluster draw is one searchsorted
+    cl_members, cl_rel, cl_cum = [], [], []
+    for c in range(n_clusters):
+        mem = np.flatnonzero(cluster == c)
+        o = np.argsort(release[mem], kind="stable")
+        mem = mem[o]
+        cl_members.append(mem)
+        cl_rel.append(release[mem])
+        cl_cum.append(np.cumsum(base_pop[mem], dtype=np.float64))
 
     # Availability as a PREFIX of the release-day-sorted catalog: a session
     # at day d may draw from the first n_d items of the sorted order, so one
@@ -265,6 +365,27 @@ def generate_transactions(cfg: DataConfig, items: pd.DataFrame, users: pd.DataFr
         d_user = sess_user[draw_sess][valid]
         d_day = d_day[valid]
 
+        # with user_pool_prob a slot re-draws from the user's subscribed
+        # micro-style clusters (availability-filtered, popularity-weighted);
+        # persona-affinity draw stays as the fallback when nothing in the
+        # picked cluster has been released yet
+        uid_glob = grp.index.to_numpy()
+        sel = np.flatnonzero(rng.random(len(chosen)) < cfg.user_pool_prob)
+        if sel.size:
+            cpick = subs[uid_glob[d_user[sel]],
+                         rng.integers(0, subs.shape[1], sel.size)]
+            dsel = d_day[sel]
+            for c in np.unique(cpick):
+                w = np.flatnonzero(cpick == c)
+                nd = np.searchsorted(cl_rel[c], dsel[w], side="right")
+                cap = np.where(nd > 0, cl_cum[c][np.maximum(nd - 1, 0)], 0.0)
+                ok = cap > 0
+                if not ok.any():
+                    continue
+                jj = np.searchsorted(cl_cum[c], rng.random(int(ok.sum())) * cap[ok])
+                chosen[sel[w[ok]]] = cl_members[c][
+                    np.minimum(jj, np.maximum(nd[ok] - 1, 0))]
+
         # repurchase: with repeat_prob a slot re-draws uniformly from the
         # user's OWN earlier purchases (draws are day-ordered per user).
         # Only the ~repeat_prob of flagged slots need the sequential pass;
@@ -294,11 +415,58 @@ def generate_transactions(cfg: DataConfig, items: pd.DataFrame, users: pd.DataFr
 
 
 def generate_dataset(cfg: DataConfig):
-    """items (enriched), users, transactions — the whole synthetic world."""
+    """items (enriched), users, transactions — the whole synthetic world.
+
+    ``items.latent_cluster`` is hidden generator ground truth kept for
+    diagnostics only (``cluster_oracle_recall``); no feature/ETL path reads
+    it."""
     rng = np.random.default_rng(cfg.seed)
     items = generate_items(cfg, rng)
     enriched = [enrich_item(r) for r in items.to_dict("records")]
     items["reinforced_feature"] = [e["reinforced_feature_value"] for e in enriched]
+    items["latent_cluster"] = _assign_item_clusters(
+        items, cfg.n_item_clusters or max(cfg.num_items // 64, 8), rng)
     users = generate_users(cfg, rng)
     tx = generate_transactions(cfg, items, users, rng)
     return items, users, tx
+
+
+def cluster_oracle_recall(items: pd.DataFrame, tx: pd.DataFrame,
+                          split_day: int, k: int = 100,
+                          max_users: int = 2000) -> dict:
+    """Learnability ceiling diagnostic (no training): for each target user,
+    rank items by global train popularity *within the latent clusters seen in
+    the user's own train history*, then back-fill with global popularity, and
+    score Recall@k against the post-split window. A world where this beats
+    the popularity baseline by a wide margin has per-user structure a
+    sequence/graph model can actually learn."""
+    cluster = items["latent_cluster"].to_numpy()
+    item_pos = {it: i for i, it in enumerate(items["item_id"])}
+    train = tx[tx["day"] < split_day]
+    valid = tx[tx["day"] >= split_day]
+    pop = np.zeros(len(items))
+    vc = train["item_id"].value_counts()
+    pop[[item_pos[i] for i in vc.index]] = vc.to_numpy()
+    pop_rank = np.argsort(-pop, kind="stable")
+    hist = train.groupby("user_id")["item_id"].agg(list)
+    target_users = valid["user_id"].unique()
+    if len(target_users) > max_users:   # O(N) per user — sample at scale
+        target_users = np.random.default_rng(0).choice(
+            target_users, max_users, replace=False)
+        valid = valid[valid["user_id"].isin(set(target_users))]
+    hits_o = hits_p = total = 0
+    for uid, g in valid.groupby("user_id"):
+        targets = {item_pos[i] for i in dict.fromkeys(g["item_id"])}
+        total += len(targets)
+        hits_p += len(targets & set(pop_rank[:k].tolist()))
+        if uid not in hist.index:
+            hits_o += len(targets & set(pop_rank[:k].tolist()))
+            continue
+        seen_cl = {cluster[item_pos[i]] for i in hist.loc[uid]}
+        in_cl = pop_rank[np.isin(cluster[pop_rank], list(seen_cl))]
+        cand = np.concatenate([in_cl, pop_rank[~np.isin(cluster[pop_rank],
+                                                        list(seen_cl))]])[:k]
+        hits_o += len(targets & set(cand.tolist()))
+    return {"oracle_recall": hits_o / max(total, 1),
+            "popularity_recall": hits_p / max(total, 1),
+            "k": k, "target_rows": total}

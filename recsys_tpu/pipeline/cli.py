@@ -79,7 +79,13 @@ def cmd_gen_data(cfg: Config, args) -> dict:
     items.to_parquet(p["items"])
     users.to_parquet(p["users"])
     tx.to_parquet(p["tx"])
-    return {"items": len(items), "users": len(users), "transactions": len(tx)}
+    # learnability diagnostic: latent-cluster oracle vs popularity Recall@100
+    # (sampled; tells whether the world has per-user structure worth training on)
+    from recsys_tpu.data.synthetic import cluster_oracle_recall
+    split_day = int(tx["day"].max()) - cfg.data.valid_days + 1
+    oracle = cluster_oracle_recall(items, tx, split_day)
+    return {"items": len(items), "users": len(users), "transactions": len(tx),
+            "oracle": oracle}
 
 
 def cmd_ingest_hm(cfg: Config, args) -> dict:

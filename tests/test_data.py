@@ -213,3 +213,31 @@ def test_sequence_distribution_stats(world):
     assert stats["unmapped_items"] == 0
     # p95 >= median (sanity on quantile ordering)
     assert stats["len_p95"] >= stats["len_median"]
+
+
+def test_latent_clusters_and_oracle(world):
+    from recsys_tpu.data.synthetic import cluster_oracle_recall
+    items, users, tx = world
+    cl = items["latent_cluster"].to_numpy()
+    assert cl.min() >= 0 and len(np.unique(cl)) >= 8
+    # feature coherence: most cluster mates share the majority (gender, style)
+    # cell (10% label noise keeps it below 1.0)
+    cells = items["gender"] + "/" + items["style"]
+    agree = np.mean([
+        (cells[cl == c].value_counts().iloc[0] / (cl == c).sum())
+        for c in np.unique(cl) if (cl == c).sum() > 0])
+    assert agree > 0.6
+    # the subscribed-cluster draws create per-user structure: the cluster
+    # oracle must beat the popularity ranking by a clear margin
+    split = int(tx["day"].max()) - 7 + 1
+    o = cluster_oracle_recall(items, tx, split, k=20)
+    assert o["oracle_recall"] > o["popularity_recall"] + 0.02
+    # and the knob turns it off: a pool_prob=0 world has (near) no gap
+    from recsys_tpu.config import DataConfig
+    from recsys_tpu.data.synthetic import generate_dataset
+    flat_cfg = DataConfig(num_items=200, num_users=80, days=60, seed=7,
+                          user_pool_prob=0.0)
+    fi, fu, ftx = generate_dataset(flat_cfg)
+    fo = cluster_oracle_recall(fi, ftx, int(ftx["day"].max()) - 7 + 1, k=20)
+    assert (o["oracle_recall"] - o["popularity_recall"]) > \
+        (fo["oracle_recall"] - fo["popularity_recall"]) + 0.01
