@@ -180,6 +180,9 @@ class GNNConfig:
     # 2 = two half-blocks share the 128 lanes (full MXU utilization at
     # emb_dim <= 64, half the per-edge one-hot FLOPs; measured 1.7x)
     spmm_pack: int = 2
+    # logical same-dst runs per chunk: lets small blocks (half the one-hot
+    # FLOPs of 1024) keep low padding (see ops/pallas_spmm.block_graph)
+    spmm_split: int = 1
 
 
 @dataclass(frozen=True)

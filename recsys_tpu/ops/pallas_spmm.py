@@ -55,6 +55,10 @@ class SpmmMeta:
     pack: int = 1             # 1 = plain; 2 = two half-blocks share the lanes
     wide: bool = True         # one (chunk_e, .) matmul pair per chunk vs
                               # chunk_e/128 small pairs (MXU utilization)
+    split: int = 1            # logical sub-runs per chunk: each physical
+                              # chunk holds `split` runs with independent
+                              # src blocks but ONE dst block, so small
+                              # block_n keeps low padding (see block_graph)
 
 
 class BlockedGraph:
@@ -80,17 +84,26 @@ class BlockedGraph:
 def block_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
                 num_nodes: int, block_n: int = 1024,
                 chunk_e: int = 1024, pack: int = 1,
-                wide: bool = True) -> BlockedGraph:
+                wide: bool = True, split: int = 1) -> BlockedGraph:
     assert chunk_e % 128 == 0 and chunk_e // 128 >= 8, \
         "chunk_e must be a multiple of 128 with >=8 sublanes (TPU tiling)"
+    assert split in (1, 2, 4, 8) and chunk_e % (128 * split) == 0
     """Vectorized host-side chunking. ``weight==0`` edges (upstream
-    fixed-shape padding) are dropped first."""
+    fixed-shape padding) are dropped first.
+
+    ``split`` > 1 packs that many LOGICAL runs (length chunk_e/split, each
+    with its own src block) into one physical chunk sharing a dst block.
+    Small blocks fragment runs (at block_n=512 ~64% of chunks hold <256
+    edges on the 22.6M-edge bench graph); same-dst packing keeps block_n
+    small — half the per-edge one-hot FLOPs of 1024 — at ~1.36x padding
+    instead of 3.5x."""
     keep = weight > 0
     src = src[keep].astype(np.int64)
     dst = dst[keep].astype(np.int64)
     weight = weight[keep].astype(np.float32)
     n_pad = ((num_nodes + block_n - 1) // block_n) * block_n
     n_blocks = n_pad // block_n
+    q = chunk_e // split                 # logical run length
 
     sb = src // block_n
     db = dst // block_n
@@ -104,18 +117,37 @@ def block_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
     run_id = np.cumsum(new_run) - 1
     run_starts = np.flatnonzero(new_run)
     run_lens = np.diff(np.append(run_starts, len(key)))
-    run_chunks = (run_lens + chunk_e - 1) // chunk_e
-    chunk_base = np.concatenate([[0], np.cumsum(run_chunks)])
-    C = int(chunk_base[-1])
+
+    # logical chunks of q edges per run (runs stay db-sorted)
+    run_chunks = (run_lens + q - 1) // q
+    lbase = np.concatenate([[0], np.cumsum(run_chunks)])
+    L = int(lbase[-1])
+    run_of_logical = np.repeat(np.arange(len(run_lens)), run_chunks)
+    ldb = db[run_starts][run_of_logical]
+    lsb = sb[run_starts][run_of_logical]
+
+    # pack `split` same-db logical chunks into one physical chunk
+    grp_new = np.empty(L, bool)
+    grp_new[0] = True
+    np.not_equal(ldb[1:], ldb[:-1], out=grp_new[1:])
+    grp_id = np.cumsum(grp_new) - 1
+    grp_starts = np.flatnonzero(grp_new)
+    grp_lens = np.diff(np.append(grp_starts, L))
+    phys_per_grp = (grp_lens + split - 1) // split
+    pbase = np.concatenate([[0], np.cumsum(phys_per_grp)])
+    within = np.arange(L) - grp_starts[grp_id]
+    phys_of_logical = pbase[grp_id] + within // split
+    slot_of_logical = within % split
+    C = int(pbase[-1])
 
     off = np.arange(len(key)) - run_starts[run_id]
-    chunk_of_edge = chunk_base[run_id] + off // chunk_e
-    pos_in_chunk = off % chunk_e
+    logical_of_edge = lbase[run_id] + off // q
+    flat = (phys_of_logical[logical_of_edge] * chunk_e
+            + slot_of_logical[logical_of_edge] * q + off % q)
 
     src_local = np.zeros((C, chunk_e), np.int32)
     dst_local = np.zeros((C, chunk_e), np.int32)
     w = np.zeros((C, chunk_e), np.float32)
-    flat = chunk_of_edge * chunk_e + pos_in_chunk
     src_local.reshape(-1)[flat] = (src % block_n).astype(np.int32)
     dst_local.reshape(-1)[flat] = (dst % block_n).astype(np.int32)
     w.reshape(-1)[flat] = weight
@@ -124,29 +156,31 @@ def block_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
     dst_local = dst_local.reshape(C, sub, 128)
     w = w.reshape(C, sub, 128)
 
-    chunk_sb = np.zeros(C, np.int32)
+    chunk_sb = np.zeros((C, split), np.int32)
+    chunk_sb[phys_of_logical, slot_of_logical] = lsb.astype(np.int32)
     chunk_db = np.zeros(C, np.int32)
-    run_of_chunk = np.repeat(np.arange(len(run_lens)), run_chunks)
-    chunk_sb[:] = sb[run_starts][run_of_chunk]
-    chunk_db[:] = db[run_starts][run_of_chunk]
+    chunk_db[phys_of_logical] = ldb.astype(np.int32)
 
     # every dst block needs >=1 chunk or its out slab is never initialized
     missing = np.setdiff1d(np.arange(n_blocks), chunk_db)
     if len(missing):
         pad = len(missing)
-        chunk_sb = np.concatenate([chunk_sb, np.zeros(pad, np.int32)])
+        chunk_sb = np.concatenate([chunk_sb, np.zeros((pad, split), np.int32)])
         chunk_db = np.concatenate([chunk_db, missing.astype(np.int32)])
-        sub = chunk_e // 128
         src_local = np.concatenate([src_local, np.zeros((pad, sub, 128), np.int32)])
         dst_local = np.concatenate([dst_local, np.zeros((pad, sub, 128), np.int32)])
         w = np.concatenate([w, np.zeros((pad, sub, 128), np.float32)])
-        order2 = np.lexsort((chunk_sb, chunk_db))
+        order2 = np.argsort(chunk_db, kind="stable")
         chunk_sb, chunk_db = chunk_sb[order2], chunk_db[order2]
         src_local, dst_local, w = src_local[order2], dst_local[order2], w[order2]
         C += pad
 
     assert pack in (1, 2)
-    meta = SpmmMeta(n_pad, num_nodes, block_n, chunk_e, C, pack, wide)
+    if split > 1:
+        assert pack == 2 and wide, "split chunks: packed wide kernel only"
+    meta = SpmmMeta(n_pad, num_nodes, block_n, chunk_e, C, pack, wide, split)
+    if split == 1:
+        chunk_sb = chunk_sb[:, 0]
     return BlockedGraph(meta, chunk_sb, chunk_db, src_local, dst_local, w)
 
 
@@ -208,8 +242,9 @@ def _spmm_kernel(sb_ref, db_ref, x_ref, sl_ref, dl_ref, w_ref, out_ref,
     out_ref[:] += acc
 
 
-def _spmm_kernel_packed(sb_ref, db_ref, x_ref, sl_ref, dl_ref, w_ref, out_ref,
-                        *, block_n, chunk_e, feat, acc_dtype, interpret, wide):
+def _spmm_kernel_packed(sb_ref, db_ref, *refs,
+                        block_n, chunk_e, feat, acc_dtype, interpret, wide,
+                        split=1):
     """pack=2 variant: a block of ``block_n`` nodes is stored as
     (block_n/2, 2*feat) — two half-blocks side by side in the 128 lanes.
 
@@ -217,7 +252,13 @@ def _spmm_kernel_packed(sb_ref, db_ref, x_ref, sl_ref, dl_ref, w_ref, out_ref,
     the one-hot contraction length, so the same node reach costs half the
     per-edge FLOPs of the plain kernel.  Cross-half edges are fixed up with
     a circular lane roll (the wrong half is zero, so roll == swap).
+
+    ``split`` > 1: the chunk holds that many logical runs, each gathered
+    from its own src slab (``refs[:split]``); one fused scatter matmul
+    lands them all on the shared dst block.
     """
+    x_refs = refs[:split]
+    sl_ref, dl_ref, w_ref, out_ref = refs[split:]
     c = pl.program_id(0)
     prev_db = db_ref[jnp.maximum(c - 1, 0)]
     is_new = (c == 0) | (prev_db != db_ref[c])
@@ -228,38 +269,45 @@ def _spmm_kernel_packed(sb_ref, db_ref, x_ref, sl_ref, dl_ref, w_ref, out_ref,
 
     Br = block_n // 2
     roll = jnp.roll if interpret else pltpu.roll
-    xb = x_ref[:].astype(acc_dtype)                            # (Br, 2F)
     lanes_b = jax.lax.broadcasted_iota(jnp.int32, (128, Br), 1)
     rows_b = jax.lax.broadcasted_iota(jnp.int32, (Br, 128), 0)
     lane_hi = (jax.lax.broadcasted_iota(jnp.int32, (1, 2 * feat), 1)
                >= feat).astype(jnp.int32)
     if wide:
-        # Same big-matmul fusion as the plain kernel's wide path; the
-        # half-select (keep) and cross-half fixup (roll) stay elementwise
-        # on the concatenated (Ec, 2F) message block.
-        oh_parts, ohT_parts, keep_parts, swap_parts = [], [], [], []
-        for j in range(chunk_e // 128):
-            sl = sl_ref[0, j, :]                               # (128,)
-            dl = dl_ref[0, j, :]
-            # minor-dim insertion on the 32-bit value (Mosaic can't reshape
-            # (128,) bf16 -> (128, 1)); cast the 2-D result
-            w = w_ref[0, j, :][:, None].astype(acc_dtype)      # (128, 1)
-            s_hi = (sl >= Br).astype(jnp.int32)
-            d_hi = (dl >= Br).astype(jnp.int32)
-            s_row = sl - s_hi * Br
-            d_row = dl - d_hi * Br
-            oh_parts.append((s_row[:, None] == lanes_b).astype(acc_dtype)
-                            * w)
-            ohT_parts.append((d_row[None, :] == rows_b).astype(acc_dtype))
-            keep_parts.append(lane_hi == s_hi[:, None])        # (128, 2F)
-            # insert the minor dim on i32, compare in 2-D (i1 reshape is
-            # unsupported by Mosaic)
-            swap_parts.append(jnp.broadcast_to(
-                (s_hi ^ d_hi)[:, None], (128, 2 * feat)) == 1)
-        oh_s = jnp.concatenate(oh_parts, axis=0)               # (Ec, Br)
-        msgs = jax.lax.dot_general(
-            oh_s, xb, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                # (Ec, 2F)
+        # Big-matmul fusion: per logical slot, one (q, Br) gather matmul
+        # against that slot's src slab; the half-select (keep) and
+        # cross-half fixup (roll) stay elementwise on the concatenated
+        # (Ec, 2F) message block; ONE (Br, Ec) scatter matmul at the end.
+        q_sub = chunk_e // 128 // split
+        msg_parts, ohT_parts, keep_parts, swap_parts = [], [], [], []
+        for s in range(split):
+            xb = x_refs[s][:].astype(acc_dtype)                # (Br, 2F)
+            oh_parts = []
+            for t in range(q_sub):
+                j = s * q_sub + t
+                sl = sl_ref[0, j, :]                           # (128,)
+                dl = dl_ref[0, j, :]
+                # minor-dim insertion on the 32-bit value (Mosaic can't
+                # reshape (128,) bf16 -> (128, 1)); cast the 2-D result
+                w = w_ref[0, j, :][:, None].astype(acc_dtype)  # (128, 1)
+                s_hi = (sl >= Br).astype(jnp.int32)
+                d_hi = (dl >= Br).astype(jnp.int32)
+                s_row = sl - s_hi * Br
+                d_row = dl - d_hi * Br
+                oh_parts.append((s_row[:, None] == lanes_b).astype(acc_dtype)
+                                * w)
+                ohT_parts.append((d_row[None, :] == rows_b).astype(acc_dtype))
+                keep_parts.append(lane_hi == s_hi[:, None])    # (128, 2F)
+                # insert the minor dim on i32, compare in 2-D (i1 reshape
+                # is unsupported by Mosaic)
+                swap_parts.append(jnp.broadcast_to(
+                    (s_hi ^ d_hi)[:, None], (128, 2 * feat)) == 1)
+            oh_s = jnp.concatenate(oh_parts, axis=0)           # (q, Br)
+            msg_parts.append(jax.lax.dot_general(
+                oh_s, xb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))           # (q, 2F)
+        msgs = (msg_parts[0] if split == 1
+                else jnp.concatenate(msg_parts, axis=0))       # (Ec, 2F)
         msgs = jnp.where(jnp.concatenate(keep_parts, axis=0), msgs, 0.0)
         swapped = roll(msgs, feat, axis=1)
         msgs = jnp.where(jnp.concatenate(swap_parts, axis=0), swapped, msgs)
@@ -268,6 +316,8 @@ def _spmm_kernel_packed(sb_ref, db_ref, x_ref, sl_ref, dl_ref, w_ref, out_ref,
             oh_dT, msgs.astype(acc_dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)                # (Br, 2F)
         return
+    assert split == 1
+    xb = x_refs[0][:].astype(acc_dtype)                        # (Br, 2F)
     acc = jnp.zeros_like(out_ref)
     for j in range(chunk_e // 128):
         sl = sl_ref[0, j, :]                                   # (128,)
@@ -324,12 +374,19 @@ def _spmm_call(meta: SpmmMeta, arrays: dict, x: jnp.ndarray,
     if meta.pack == 2:
         assert D <= 64, "pack=2 needs feat <= 64 (two halves share 128 lanes)"
         Br = Bn // 2
+        S = meta.split
         xp = _pack2(x_pad.astype(x_dtype), Bn)                 # (n/2, 2D)
+
+        def _x_spec(j):
+            if S == 1:
+                return pl.BlockSpec((Br, 2 * D), lambda c, sb, db: (sb[c], 0))
+            return pl.BlockSpec((Br, 2 * D),
+                                lambda c, sb, db, j=j: (sb[c, j], 0))
+
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(C,),
-            in_specs=[
-                pl.BlockSpec((Br, 2 * D), lambda c, sb, db: (sb[c], 0)),
+            in_specs=[_x_spec(j) for j in range(S)] + [
                 pl.BlockSpec((1, sub, 128), lambda c, sb, db: (c, 0, 0)),
                 pl.BlockSpec((1, sub, 128), lambda c, sb, db: (c, 0, 0)),
                 pl.BlockSpec((1, sub, 128), lambda c, sb, db: (c, 0, 0)),
@@ -339,11 +396,12 @@ def _spmm_call(meta: SpmmMeta, arrays: dict, x: jnp.ndarray,
         out = pl.pallas_call(
             functools.partial(_spmm_kernel_packed, block_n=Bn, chunk_e=Ec,
                               feat=D, acc_dtype=acc_dtype,
-                              interpret=_interpret(), wide=meta.wide),
+                              interpret=_interpret(), wide=meta.wide,
+                              split=S),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n // 2, 2 * D), jnp.float32),
             interpret=_interpret(),
-        )(arrays["sb"], arrays["db"], xp,
+        )(arrays["sb"], arrays["db"], *([xp] * S),
           arrays["sl"], arrays["dl"], arrays["w"])
         return _unpack2(out, Bn)[: x.shape[0]]
 

@@ -86,7 +86,7 @@ def select_propagation(cfg: GNNConfig, graph: BipartiteGraph, num_nodes: int):
         pack = cfg.spmm_pack if cfg.emb_dim <= 64 else 1
         blocked = block_graph(graph.src, graph.dst, graph.weight, num_nodes,
                               block_n=cfg.spmm_block_n, chunk_e=cfg.spmm_chunk_e,
-                              pack=pack)
+                              pack=pack, split=cfg.spmm_split if pack == 2 else 1)
         arrays = {k: jax.device_put(v) for k, v in blocked.device_arrays().items()}
         meta = blocked.meta
         return (lambda args, x: spmm(meta, args, x, "bf16")), arrays

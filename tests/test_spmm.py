@@ -70,3 +70,25 @@ def test_block_graph_covers_all_dst_blocks(graph):
     assert (np.diff(blocked.dst_block) >= 0).all()
     # real edge count preserved
     assert (blocked.weight > 0).sum() == (graph.weight > 0).sum()
+
+
+@pytest.mark.parametrize("split", [2, 4])
+def test_spmm_split_chunks_parity(graph, split):
+    """split>1 packs multiple same-dst logical runs per physical chunk
+    (small-block fragmentation fix); result must match exactly."""
+    n = graph.num_nodes
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(n, 64)).astype(np.float32))
+    ref = propagate(x, jnp.asarray(graph.src), jnp.asarray(graph.dst),
+                    jnp.asarray(graph.weight), n)
+    blocked = block_graph(graph.src, graph.dst, graph.weight, n,
+                          block_n=256, chunk_e=1024, pack=2, split=split)
+    got = spmm(blocked.meta, blocked.device_arrays(), x, "f32")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    # grad path shares the kernel (symmetric A)
+    g = jnp.asarray(rng.normal(size=(n, 64)).astype(np.float32))
+    arrays = blocked.device_arrays()
+    dx = jax.grad(lambda xx: jnp.sum(spmm(blocked.meta, arrays, xx, "f32") * g))(x)
+    dx_ref = propagate(g, jnp.asarray(graph.src), jnp.asarray(graph.dst),
+                       jnp.asarray(graph.weight), n)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), atol=1e-5)
