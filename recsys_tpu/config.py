@@ -171,6 +171,12 @@ class GNNConfig:
     batch_size: int = 8192
     lr: float = 5e-3
     epochs: int = 20
+    # reference-scale step counts on small worlds: repeat shuffled edge
+    # passes until an epoch has at least this many optimizer steps (the
+    # reference runs 1375 steps/epoch at batch 8192 on its 11.3M-edge
+    # graph; a 73k-edge test world would otherwise get 9). Inactive at
+    # reference scale. Same rationale as UserTrainConfig.steps_per_epoch_min.
+    steps_per_epoch_min: int = 100
     logit_clamp: float = 100.0
     # propagation backend: auto -> block-SpMM Pallas kernel on accelerators
     # (3.5x the XLA scatter path), segment_sum on the CPU test mesh

@@ -74,11 +74,20 @@ class BlockedGraph:
         self.weight = weight          # (C, chunk_e) float32, 0 on padding
 
     def device_arrays(self) -> dict:
-        return {
-            "sb": jnp.asarray(self.src_block), "db": jnp.asarray(self.dst_block),
-            "sl": jnp.asarray(self.src_local), "dl": jnp.asarray(self.dst_local),
-            "w": jnp.asarray(self.weight),
-        }
+        # scalar-prefetch arrays MUST stay 1-D: a (C, split) i32 in SMEM is
+        # lane-padded to (C, 128) — 22 MB at C=44k vs the 1 MB SMEM budget —
+        # so each split slot ships as its own contiguous (C,) array
+        out = {"db": jnp.asarray(self.dst_block),
+               "sl": jnp.asarray(self.src_local),
+               "dl": jnp.asarray(self.dst_local),
+               "w": jnp.asarray(self.weight)}
+        sb = self.src_block
+        if sb.ndim == 1:
+            out["sb"] = jnp.asarray(sb)
+        else:
+            for j in range(sb.shape[1]):
+                out[f"sb{j}"] = jnp.asarray(np.ascontiguousarray(sb[:, j]))
+        return out
 
 
 def block_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
@@ -242,7 +251,7 @@ def _spmm_kernel(sb_ref, db_ref, x_ref, sl_ref, dl_ref, w_ref, out_ref,
     out_ref[:] += acc
 
 
-def _spmm_kernel_packed(sb_ref, db_ref, *refs,
+def _spmm_kernel_packed(db_ref, *refs,
                         block_n, chunk_e, feat, acc_dtype, interpret, wide,
                         split=1):
     """pack=2 variant: a block of ``block_n`` nodes is stored as
@@ -254,11 +263,12 @@ def _spmm_kernel_packed(sb_ref, db_ref, *refs,
     a circular lane roll (the wrong half is zero, so roll == swap).
 
     ``split`` > 1: the chunk holds that many logical runs, each gathered
-    from its own src slab (``refs[:split]``); one fused scatter matmul
-    lands them all on the shared dst block.
+    from its own src slab; one fused scatter matmul lands them all on the
+    shared dst block. Scalar-prefetch refs arrive first (db, then the
+    per-slot src-block arrays — consumed by the index maps, unused here).
     """
-    x_refs = refs[:split]
-    sl_ref, dl_ref, w_ref, out_ref = refs[split:]
+    x_refs = refs[split:2 * split]
+    sl_ref, dl_ref, w_ref, out_ref = refs[2 * split:]
     c = pl.program_id(0)
     prev_db = db_ref[jnp.maximum(c - 1, 0)]
     is_new = (c == 0) | (prev_db != db_ref[c])
@@ -377,21 +387,26 @@ def _spmm_call(meta: SpmmMeta, arrays: dict, x: jnp.ndarray,
         S = meta.split
         xp = _pack2(x_pad.astype(x_dtype), Bn)                 # (n/2, 2D)
 
+        # scalar-prefetch operands: db, then one 1-D src-block array per slot
+        sb_arrays = ([arrays["sb"]] if S == 1
+                     else [arrays[f"sb{j}"] for j in range(S)])
+
         def _x_spec(j):
-            if S == 1:
-                return pl.BlockSpec((Br, 2 * D), lambda c, sb, db: (sb[c], 0))
+            # scalars arrive positionally: (c, db, sb0, ..., sb{S-1})
             return pl.BlockSpec((Br, 2 * D),
-                                lambda c, sb, db, j=j: (sb[c, j], 0))
+                                lambda c, db, *sbs, j=j: (sbs[j][c], 0))
+
+        def _chunk_spec():
+            return pl.BlockSpec((1, sub, 128), lambda c, db, *sbs: (c, 0, 0))
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=1 + S,
             grid=(C,),
             in_specs=[_x_spec(j) for j in range(S)] + [
-                pl.BlockSpec((1, sub, 128), lambda c, sb, db: (c, 0, 0)),
-                pl.BlockSpec((1, sub, 128), lambda c, sb, db: (c, 0, 0)),
-                pl.BlockSpec((1, sub, 128), lambda c, sb, db: (c, 0, 0)),
+                _chunk_spec(), _chunk_spec(), _chunk_spec(),
             ],
-            out_specs=pl.BlockSpec((Br, 2 * D), lambda c, sb, db: (db[c], 0)),
+            out_specs=pl.BlockSpec((Br, 2 * D),
+                                   lambda c, db, *sbs: (db[c], 0)),
         )
         out = pl.pallas_call(
             functools.partial(_spmm_kernel_packed, block_n=Bn, chunk_e=Ec,
@@ -401,7 +416,7 @@ def _spmm_call(meta: SpmmMeta, arrays: dict, x: jnp.ndarray,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n // 2, 2 * D), jnp.float32),
             interpret=_interpret(),
-        )(arrays["sb"], arrays["db"], *([xp] * S),
+        )(arrays["db"], *sb_arrays, *([xp] * S),
           arrays["sl"], arrays["dl"], arrays["w"])
         return _unpack2(out, Bn)[: x.shape[0]]
 

@@ -142,7 +142,9 @@ def train_lightgcl(cfg: Config, graph: BipartiteGraph, edges_u: np.ndarray,
     params = jax.jit(model.init)(jax.random.PRNGKey(cfg.data.seed), prop_args,
                                  jnp.asarray(graph.svd_u), jnp.asarray(graph.svd_s),
                                  jnp.asarray(graph.svd_v))["params"]
-    steps_per_epoch = max(len(edges_u) // g.batch_size, 1)
+    passes = max(1, -(-g.steps_per_epoch_min //
+                      max(len(edges_u) // g.batch_size, 1)))
+    steps_per_epoch = max(len(edges_u) // g.batch_size, 1) * passes
     if fine_tune:
         sched = optax.cosine_decay_schedule(g.lr * 0.4, steps_per_epoch * g.epochs,
                                             alpha=1e-5 / (g.lr * 0.4))
@@ -168,14 +170,16 @@ def train_lightgcl(cfg: Config, graph: BipartiteGraph, edges_u: np.ndarray,
     gstep = 0
     for epoch in range(start_epoch, g.epochs + 1):
         tot, nb = 0.0, 0
-        for users, pos, neg in sample_bpr_batches(edges_u, edges_i,
-                                                  graph.num_items, g.batch_size, rng):
-            state, aux = step_fn(state, jnp.asarray(users), jnp.asarray(pos),
-                                 jnp.asarray(neg))
-            tot += float(aux["loss"]); nb += 1; gstep += 1
-            if gstep % 100 == 0:
-                writer.write("train", gstep, loss=float(aux["loss"]),
-                             bpr=float(aux["bpr"]), ssl=float(aux["ssl"]))
+        for _pass in range(passes):   # steps floor: shuffled re-passes
+            for users, pos, neg in sample_bpr_batches(edges_u, edges_i,
+                                                      graph.num_items,
+                                                      g.batch_size, rng):
+                state, aux = step_fn(state, jnp.asarray(users), jnp.asarray(pos),
+                                     jnp.asarray(neg))
+                tot += float(aux["loss"]); nb += 1; gstep += 1
+                if gstep % 100 == 0:
+                    writer.write("train", gstep, loss=float(aux["loss"]),
+                                 bpr=float(aux["bpr"]), ssl=float(aux["ssl"]))
         mean = tot / max(nb, 1)
         writer.write("epoch", epoch, loss=mean)
         store.save(f"ep{epoch:03d}", state, step=gstep, metric=mean,
