@@ -73,6 +73,54 @@ def repurchase_topk(histories: list[np.ndarray], logq: np.ndarray,
     return out
 
 
+def content_profile_topk(histories: list[np.ndarray], item_matrix: np.ndarray,
+                         max_k: int, *, half_life: float | None = None
+                         ) -> np.ndarray:
+    """Training-free content retrieval: each user's vector is the mean of
+    their history items' stage-1 content vectors (cosine top-k, PAD row 0
+    excluded).
+
+    This bounds how much of the dataset's signal lives in the *content
+    space alone* — the measurable twin of the reference's content-based
+    premise (its item tower exists precisely so user affinity can be read
+    off content vectors, `item_tower.py`, `mined_inference.py:194-225`).
+    The gap between this and a trained tower isolates what sequence
+    modeling adds; the gap to the latent-cluster oracle (synthetic worlds)
+    isolates how much cluster signal stage-1 embeddings capture.
+
+    ``half_life`` > 0 weights history positions by recency
+    (w = 0.5**(age/half_life), age in positions from the end).
+    """
+    items = np.asarray(item_matrix, np.float32).copy()
+    items /= np.clip(np.linalg.norm(items, axis=-1, keepdims=True), 1e-12, None)
+    n = len(histories)
+    profiles = np.zeros((n, items.shape[1]), np.float32)
+    for r, hist in enumerate(histories):
+        hist = np.asarray(hist)
+        hist = hist[hist > 0]
+        if not len(hist):
+            continue
+        vecs = items[hist]
+        if half_life:
+            age = np.arange(len(hist) - 1, -1, -1, dtype=np.float32)
+            w = 0.5 ** (age / half_life)
+            profiles[r] = (vecs * w[:, None]).sum(0) / w.sum()
+        else:
+            profiles[r] = vecs.mean(0)
+    norms = np.linalg.norm(profiles, axis=-1, keepdims=True)
+    profiles /= np.clip(norms, 1e-12, None)
+    out = np.zeros((n, max_k), np.int64)
+    chunk = 2048
+    for s0 in range(0, n, chunk):
+        scores = profiles[s0:s0 + chunk] @ items.T
+        scores[:, 0] = -np.inf
+        k = min(max_k, scores.shape[1] - 1)
+        idx = np.argpartition(-scores, k, axis=1)[:, :max_k]
+        order = np.take_along_axis(scores, idx, 1).argsort(1)[:, ::-1]
+        out[s0:s0 + chunk] = np.take_along_axis(idx, order, 1)
+    return out
+
+
 def _minmax(x: np.ndarray) -> np.ndarray:
     lo, hi = float(x.min()), float(x.max())
     return (x - lo) / (hi - lo) if hi > lo else np.zeros_like(x)
@@ -138,12 +186,16 @@ def blend_sweep(user_vecs: np.ndarray, item_matrix: np.ndarray,
 
 
 def baseline_report(tensors: dict, logq: np.ndarray, targets_idx: dict,
-                    ks=(20, 100, 500)) -> dict:
-    """Both baselines evaluated with the tower-eval denominator semantics.
+                    ks=(20, 100, 500), item_matrix: np.ndarray | None = None
+                    ) -> dict:
+    """All training-free baselines evaluated with the tower-eval denominator
+    semantics.
 
     ``tensors`` is the stage-2 tensor dict (`build_sasrec_tensors`): the
     user's training history is the left-padded ``input_ids`` row plus the
     final target item (the causal shift drops it from the inputs).
+    ``item_matrix`` (the (N+1, D) stage-1 content matrix, PAD row 0) adds
+    the content-profile baseline.
     """
     user_ids = list(tensors["user_ids"])
     max_k = max(ks)
@@ -153,7 +205,16 @@ def baseline_report(tensors: dict, logq: np.ndarray, targets_idx: dict,
                            tensors["target_ids"][:, -1:]], axis=1)
     histories = [full[r] for r in range(n)]
     rep_idx = repurchase_topk(histories, logq, max_k)
-    return {
+    report = {
         "popularity": recall_at_ks(pop_idx, user_ids, targets_idx, ks),
         "repurchase": recall_at_ks(rep_idx, user_ids, targets_idx, ks),
     }
+    if item_matrix is not None:
+        cp_idx = content_profile_topk(histories, item_matrix, max_k)
+        report["content_profile"] = recall_at_ks(cp_idx, user_ids,
+                                                 targets_idx, ks)
+        cpr_idx = content_profile_topk(histories, item_matrix, max_k,
+                                       half_life=10.0)
+        report["content_profile_recency"] = recall_at_ks(
+            cpr_idx, user_ids, targets_idx, ks)
+    return report

@@ -323,7 +323,7 @@ def cmd_eval(cfg: Config, args) -> dict:
     from recsys_tpu.train.sasrec import collect_user_vectors
     metrics["baselines"] = baseline_report(
         data["tensors"], data["logq"], data["targets_idx"],
-        ks=cfg.user_train.eval_ks)
+        ks=cfg.user_train.eval_ks, item_matrix=pretrained)
     from recsys_tpu.eval.recall import target_rows
     tens = data["tensors"]
     # blend sweep over target users only (metric-identical; the full-user

@@ -70,6 +70,41 @@ def test_baseline_popularity_and_repurchase():
     assert idx[0].tolist() == [2, 1, 3]
 
 
+def test_content_profile_baseline():
+    from recsys_tpu.eval.baselines import baseline_report, content_profile_topk
+
+    # two orthogonal content clusters; each user's history sits in one
+    # cluster and their target is the unseen item of the SAME cluster
+    items = np.zeros((5, 4), np.float32)          # PAD + 4 items
+    items[1] = [1, 0, 0, 0]; items[2] = [0.9, 0.1, 0, 0]   # cluster A
+    items[3] = [0, 0, 1, 0]; items[4] = [0, 0, 0.9, 0.1]   # cluster B
+    tensors = {
+        "user_ids": np.array(["a", "b"]),
+        "input_ids": np.array([[0, 1, 1], [0, 3, 3]]),
+        "target_ids": np.array([[1, 1, 1], [3, 3, 3]]),
+    }
+    targets = {"a": {2}, "b": {4}}
+    logq = np.array([-20.0, -1.0, -5.0, -1.0, -5.0])  # popularity: 1 and 3
+    rep = baseline_report(tensors, logq, targets, ks=(1, 2),
+                          item_matrix=items)
+    # popularity@2 recommends {1,3} -> zero recall; content profile ranks
+    # the same-cluster unseen item right after the seen one -> recall@2 = 1
+    assert rep["popularity"]["recall@2"] == 0.0
+    assert rep["content_profile"]["recall@2"] == 1.0
+    assert rep["content_profile_recency"]["recall@2"] == 1.0
+
+    # recency weighting: late history dominates the profile
+    hist = [np.array([3, 3, 3, 1])]   # mostly cluster B, latest is cluster A
+    idx_flat = content_profile_topk(hist, items, 1)
+    idx_rec = content_profile_topk(hist, items, 1, half_life=0.5)
+    assert idx_flat[0, 0] in (3, 4)   # plain mean stays in cluster B
+    assert idx_rec[0, 0] in (1, 2)    # recency-weighted flips to cluster A
+
+    # empty history: zero profile must not crash; PAD never recommended
+    idx = content_profile_topk([np.zeros(3, np.int64)], items, 2)
+    assert (idx[0] != 0).all()
+
+
 def test_blend_sweep_recovers_prior_signal():
     from recsys_tpu.eval.baselines import blend_sweep
 
