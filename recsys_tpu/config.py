@@ -229,12 +229,15 @@ class ServeConfig:
     fast_mode_multiplier: int = 4  # `utils/inference_utils.py:155`
     similarity_top_k: int = 50     # `APIController/controller.py:84-93`
     db_path: str = "artifacts/serve.db"
-    # ANN backend: exact C++ scan (honest at <=100k items) or native HNSW
-    # (reference pgvector config m=24/efc=200/efs=100; for 1M+ catalogs)
-    ann_backend: str = "exact"     # exact | hnsw
+    # ANN backend: exact C++ scan (honest at <=100k items), native HNSW
+    # (reference pgvector config m=24/efc=200/efs=100), or TPU-resident IVF
+    # (clustered device search for 1M+ catalogs, ops/ivf.py)
+    ann_backend: str = "exact"     # exact | hnsw | ivf
     hnsw_m: int = 24
     hnsw_ef_construction: int = 200
     hnsw_ef_search: int = 100
+    ivf_nlist: int = 0             # 0 = auto (sqrt(N) at build time)
+    ivf_nprobe: int = 8
     # coalesce concurrent HTTP vectorize calls into shared device batches
     # (leader/follower, serve/batcher.py); 0 disables
     batch_window_ms: float = 2.0

@@ -25,7 +25,8 @@ from recsys_tpu.parallel.mesh import smap
 
 def topk_scores(user_vecs: jnp.ndarray, item_matrix: jnp.ndarray, k: int,
                 mesh=None, normalize_items: bool = True,
-                prior: jnp.ndarray | None = None):
+                prior: jnp.ndarray | None = None, method: str = "exact",
+                recall_target: float = 0.95):
     """(B, D) x (N+1, D) -> (vals, idx) (B, k); PAD row 0 excluded.
 
     With a mesh whose model axis > 1, the item matrix is row-sharded and
@@ -35,6 +36,12 @@ def topk_scores(user_vecs: jnp.ndarray, item_matrix: jnp.ndarray, k: int,
     log-popularity blend (`eval/baselines.blend_sweep` picks the scale) —
     applied before top-k. On a sharded mesh the prior rides the same
     row-sharding as the item matrix, so the blend is free at any scale.
+
+    ``method="approx"`` (dense path only) swaps the exact ``lax.top_k``
+    for TPU-optimized ``lax.approx_max_k`` at the given ``recall_target``
+    — the serving-time knob; eval keeps the exact default so metrics stay
+    honest. The sharded path is always exact (the cross-shard merge is
+    already cheap relative to the per-shard matmul).
     """
     items = item_matrix.astype(jnp.float32)
     if normalize_items:
@@ -60,6 +67,8 @@ def topk_scores(user_vecs: jnp.ndarray, item_matrix: jnp.ndarray, k: int,
     if prior is not None:
         scores = scores + prior.astype(jnp.float32)[None, :]
     scores = scores.at[:, 0].set(-jnp.inf)
+    if method == "approx":
+        return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
     return jax.lax.top_k(scores, k)
 
 

@@ -295,3 +295,101 @@ class HnswIndex:
                 self._lib.hnsw_free(self._h)
             except Exception:
                 pass
+
+
+# -- IVF on TPU (approximate, device-resident) -------------------------------
+
+class IvfTpuIndex:
+    """TPU-resident IVF index behind the common ``add/topk/save/load``
+    interface (`ops/ivf.py` does the math).
+
+    The device arrays are immutable, so mutations land in a host-side row
+    store and the index lazily rebuilds (k-means + bucket packing) on the
+    first query after a change — the same "vectors accumulate, index
+    refreshes" lifecycle the reference drives through pgvector's
+    ``is_vectorized`` flags. Suited to 1M+ catalogs where the exact scan
+    stops being free; at small N it simply degrades to near-exact.
+    """
+
+    def __init__(self, dim: int, nlist: int | None = None, nprobe: int = 8,
+                 kmeans_iters: int = 10):
+        self.dim = dim
+        self.nlist = nlist
+        self.nprobe = nprobe
+        self.kmeans_iters = kmeans_iters
+        self._ids: list[int] = []
+        self._rows: dict[int, int] = {}
+        self._data = np.zeros((0, dim), np.float32)
+        self._index = None          # ops.ivf.IvfIndexArrays
+        self._dirty = True
+
+    def add(self, ids: Sequence[int], vecs: np.ndarray) -> None:
+        vecs = np.ascontiguousarray(vecs, np.float32)
+        ids_arr = np.ascontiguousarray(ids, np.int64)
+        assert vecs.shape == (len(ids_arr), self.dim)
+        for i, vid in enumerate(ids_arr.tolist()):
+            if vid in self._rows:
+                self._data[self._rows[vid]] = vecs[i]
+            else:
+                self._rows[vid] = len(self._ids)
+                self._ids.append(vid)
+                self._data = np.concatenate([self._data, vecs[i:i + 1]])
+        self._dirty = True
+
+    def remove(self, id_: int) -> bool:
+        row = self._rows.pop(id_, None)
+        if row is None:
+            return False
+        last = len(self._ids) - 1
+        if row != last:
+            self._data[row] = self._data[last]
+            self._ids[row] = self._ids[last]
+            self._rows[self._ids[row]] = row
+        self._ids.pop()
+        self._data = self._data[:last]
+        self._dirty = True
+        return True
+
+    def __len__(self) -> int:
+        return len(self._ids)
+
+    def _rebuild(self) -> None:
+        from recsys_tpu.ops.ivf import build_ivf
+
+        mat = np.concatenate([np.zeros((1, self.dim), np.float32), self._data])
+        self._index = build_ivf(mat, nlist=self.nlist,
+                                iters=self.kmeans_iters)
+        self._dirty = False
+
+    def topk(self, queries: np.ndarray, k: int, nprobe: int | None = None):
+        import jax.numpy as jnp
+        from recsys_tpu.ops.ivf import ivf_search
+
+        queries = np.ascontiguousarray(np.atleast_2d(queries), np.float32)
+        m = queries.shape[0]
+        if not self._ids:
+            return (np.full((m, k), -1, np.int64), np.zeros((m, k), np.float32))
+        if self._dirty:
+            self._rebuild()
+        vals, idx = ivf_search(self._index, jnp.asarray(queries), k,
+                               int(nprobe or self.nprobe))
+        idx = np.asarray(idx)
+        vals = np.asarray(vals)
+        ext = np.concatenate([[-1], np.asarray(self._ids, np.int64)])
+        out_ids = ext[idx]                       # PAD slot 0 -> -1
+        out_scores = np.where(np.isfinite(vals), vals, 0.0).astype(np.float32)
+        return out_ids, out_scores
+
+    def save(self, path: str) -> None:
+        np.savez(path + ".npz", ids=np.asarray(self._ids, np.int64),
+                 data=self._data, dim=self.dim,
+                 nlist=self.nlist or 0, nprobe=self.nprobe)
+
+    @classmethod
+    def load(cls, path: str) -> "IvfTpuIndex":
+        z = np.load(path + ".npz")
+        ix = cls(int(z["dim"]), nlist=int(z["nlist"]) or None,
+                 nprobe=int(z["nprobe"]))
+        if len(z["ids"]):
+            ix.add(z["ids"], z["data"])
+        return ix

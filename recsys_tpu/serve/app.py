@@ -362,6 +362,12 @@ def build_app_context(cfg: Config, vectorizer: Callable | None = None) -> AppCon
         index = HnswIndex(cfg.item_tower.dim, m=cfg.serve.hnsw_m,
                           ef_construction=cfg.serve.hnsw_ef_construction,
                           ef_search=cfg.serve.hnsw_ef_search)
+    elif cfg.serve.ann_backend == "ivf":
+        from recsys_tpu.serve.ann import IvfTpuIndex
+
+        index = IvfTpuIndex(cfg.item_tower.dim,
+                            nlist=cfg.serve.ivf_nlist or None,
+                            nprobe=cfg.serve.ivf_nprobe)
     else:
         index = VectorIndex(cfg.item_tower.dim, cosine=True)
     vec_fn = vectorizer or hash_vectorizer(cfg.item_tower.dim)
