@@ -70,6 +70,11 @@ class SimCSEConfig:
     text_encoder_lr: float = 1e-5  # analogue of the BERT param group (`item_tower.py:1012-1022`)
     weight_decay: float = 0.01
     epochs: int = 5
+    # reference-scale step counts on small catalogs: run shuffled re-passes
+    # until an epoch has at least this many optimizer steps (the reference
+    # "epoch" is ~245 steps at its 47k catalog; inactive at/above that
+    # scale). Same pattern as user_train.steps_per_epoch_min.
+    steps_per_epoch_min: int = 100
     warmup_frac: float = 0.1
     feature_dropout: float = 0.2   # view-corruption prob (`item_tower.py:341-394`)
     global_negatives: bool = True  # all-gather embeddings across the data axis

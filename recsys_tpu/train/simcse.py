@@ -98,7 +98,10 @@ def train_simcse(cfg: Config, tensors: dict, mesh, workdir: str,
     sc = cfg.simcse
     n = tensors["std"].shape[0]
     steps_per_epoch = max(n // sc.batch_size, 1)
-    total_steps = steps_per_epoch * sc.epochs
+    # steps floor: small catalogs re-pass (fresh shuffles + fresh corruption
+    # views) until the epoch has reference-scale step counts
+    passes = max(1, -(-sc.steps_per_epoch_min // steps_per_epoch))
+    total_steps = steps_per_epoch * passes * sc.epochs
 
     from recsys_tpu.data.vocab import StdVocab
     model = build_model(cfg, StdVocab().size, tensors["std"].shape[1])
@@ -117,17 +120,18 @@ def train_simcse(cfg: Config, tensors: dict, mesh, workdir: str,
     gstep, t0, seen = 0, time.time(), 0
     for epoch in range(1, sc.epochs + 1):
         epoch_loss, nb = 0.0, 0
-        for idx in batch_iterator(n, sc.batch_size, rng):
-            batch = jax.device_put(slice_item_batch(tensors, idx), data_sharding(mesh))
-            key, sub = jax.random.split(key)
-            state, aux = step_fn(state, batch, sub)
-            epoch_loss += float(aux["loss"]); nb += 1; gstep += 1
-            seen += sc.batch_size
-            if gstep % sc.metrics_every == 0:
-                dt = time.time() - t0
-                writer.write("train", gstep, loss=float(aux["loss"]),
-                             align=float(aux["align"]), uniform=float(aux["uniform"]),
-                             examples_per_s=seen / max(dt, 1e-9))
+        for _pass in range(passes):
+            for idx in batch_iterator(n, sc.batch_size, rng):
+                batch = jax.device_put(slice_item_batch(tensors, idx), data_sharding(mesh))
+                key, sub = jax.random.split(key)
+                state, aux = step_fn(state, batch, sub)
+                epoch_loss += float(aux["loss"]); nb += 1; gstep += 1
+                seen += sc.batch_size
+                if gstep % sc.metrics_every == 0:
+                    dt = time.time() - t0
+                    writer.write("train", gstep, loss=float(aux["loss"]),
+                                 align=float(aux["align"]), uniform=float(aux["uniform"]),
+                                 examples_per_s=seen / max(dt, 1e-9))
         mean_loss = epoch_loss / max(nb, 1)
         writer.write("epoch", epoch, loss=mean_loss)
         store.save(f"encoder_ep{epoch:02d}", {"params": jax.device_get(state.params)},

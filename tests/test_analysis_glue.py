@@ -54,7 +54,7 @@ def test_store_backed_item_trainer(tmp_path):
         data=DataConfig(seed=0),
         vocab=VocabConfig(max_field_tokens=8, max_name_tokens=8, text_vocab_size=256),
         item_tower=ItemTowerConfig(head_hidden=(128,), fusion_layers=1, text_layers=1),
-        simcse=SimCSEConfig(batch_size=8, epochs=1))
+        simcse=SimCSEConfig(batch_size=8, epochs=1, steps_per_epoch_min=1))
     store = ServeStore()
     store.ingest_products([
         {"product_id": f"p{i}", "product_name": f"red shirt {i}",

@@ -19,7 +19,8 @@ SMALL_CFG = Config(
     data=DataConfig(num_items=64, num_users=16, days=30, seed=3),
     vocab=VocabConfig(max_field_tokens=8, max_name_tokens=8, text_vocab_size=512),
     item_tower=ItemTowerConfig(head_hidden=(128,), fusion_layers=1, text_layers=1),
-    simcse=SimCSEConfig(batch_size=16, epochs=2, metrics_every=2),
+    simcse=SimCSEConfig(batch_size=16, epochs=2, metrics_every=2,
+                        steps_per_epoch_min=1),
 )
 
 
@@ -179,3 +180,19 @@ def test_random_cut_augmentation():
     # prob=0 is identity
     same = random_cut(batch, jax.random.PRNGKey(0), prob=0.0)
     np.testing.assert_array_equal(np.asarray(same["input_ids"]), inp)
+
+
+def test_simcse_steps_floor_multiplies_passes(item_tensors, mesh, tmp_path):
+    """steps_per_epoch_min re-passes the shuffled catalog until the epoch
+    has at least that many optimizer steps (same contract as stage-2)."""
+    import dataclasses
+    import json
+    from recsys_tpu.train.simcse import train_simcse
+
+    cfg = dataclasses.replace(SMALL_CFG, simcse=dataclasses.replace(
+        SMALL_CFG.simcse, epochs=1, metrics_every=1, steps_per_epoch_min=9))
+    train_simcse(cfg, item_tensors, mesh, str(tmp_path))
+    recs = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    steps = max(r["step"] for r in recs if r["kind"] == "train")
+    # 64 items / bs 16 = 4 steps/pass -> ceil(9/4)=3 passes -> 12 steps
+    assert steps == 12

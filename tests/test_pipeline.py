@@ -25,6 +25,7 @@ def _run(workdir, command, *extra):
             "--set", "user_train.eval_ks=[5,20]",
             "--set", "user_train.steps_per_epoch_min=1",
             "--set", "simcse.batch_size=16", "--set", "simcse.epochs=1",
+            "--set", "simcse.steps_per_epoch_min=1",
             "--set", "gnn.batch_size=256", "--set", "gnn.epochs=2",
             "--set", "gnn.emb_dim=16", "--set", "gnn.svd_rank=4",
             "--set", "distill.epochs=50", "--set", "distill.out_dim=16",
