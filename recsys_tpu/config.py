@@ -205,6 +205,7 @@ class DistillConfig:
     out_dim: int = 64
     lr: float = 1e-3
     epochs: int = 10
+    steps_per_epoch: int = 50      # random (user, item) batch pairs per epoch
     batch_size: int = 4096
 
 

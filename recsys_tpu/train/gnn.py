@@ -252,10 +252,13 @@ def train_distill(cfg: Config, teacher_users: np.ndarray, teacher_items: np.ndar
     rng = np.random.default_rng(0)
     bs = min(d.batch_size, len(teacher_users), len(teacher_items))
     for epoch in range(1, d.epochs + 1):
-        uu = tu[rng.integers(0, len(teacher_users), bs)]
-        ii = ti[rng.integers(0, len(teacher_items), bs)]
-        state, loss = step(state, uu, ii)
-        writer.write("epoch", epoch, loss=float(loss))
+        tot = 0.0
+        for _ in range(max(d.steps_per_epoch, 1)):
+            uu = tu[rng.integers(0, len(teacher_users), bs)]
+            ii = ti[rng.integers(0, len(teacher_items), bs)]
+            state, loss = step(state, uu, ii)
+            tot += float(loss)
+        writer.write("epoch", epoch, loss=tot / max(d.steps_per_epoch, 1))
     return state, model
 
 
