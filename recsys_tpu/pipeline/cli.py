@@ -400,8 +400,19 @@ def cmd_train_hybrid(cfg: Config, args) -> dict:
         gnn_model = H.topm_for_model(gu_aligned, gnn_mat, m, normalize_items=False)
     report = H.ensemble_report(seq_model, gnn_model, user_ids,
                                data["targets_idx"], ks=cfg.user_train.eval_ks)
+    # serving blend over the hybrid vectors (popularity prior + seen bonus,
+    # same sweep the stage-2 eval runs)
+    from recsys_tpu.eval.baselines import blend_sweep
+    rows_used = rows[: len(uvecs)]
+    hist = np.concatenate([tensors["input_ids"][rows_used],
+                           tensors["target_ids"][rows_used][:, -1:]], 1)
+    blend = blend_sweep(uvecs, np.asarray(im_fn(state.params)), data["logq"],
+                        hist, user_ids, data["targets_idx"],
+                        ks=cfg.user_train.eval_ks)
     out = {"hybrid_best": _best_epoch(history),
            "hybrid_final": history[-1] if history else {},
+           "blend": {"best": blend["best"],
+                     "best_metrics": blend["best_metrics"]},
            "ensemble": {k: (v if k.startswith("standalone") else
                             {"best_alpha": v["best_alpha"], "best": v["best"]})
                         for k, v in report.items()}}
