@@ -5,8 +5,9 @@ config with the state-chained differential timing the tunnel requires
 (see bench.py notes): time N_long chained passes and N_short, report
 (T_long - T_short) / (N_long - N_short).
 
-Usage:  python bench_spmm.py [--configs "1024,1024,1 2048,1024,2 512,1024,2,4 ..."]
-(config = block_n,chunk_e,pack[,split]) Prints one JSON line per config.
+Usage:  python bench_spmm.py [--configs "1024,1024,1 2048,1024,2 512,1024,2,4 1024,1024,2,1,4 ..."]
+(config = block_n,chunk_e,pack[,split[,mxu_parts]]) Prints one JSON line
+per config.
 """
 
 import json
@@ -33,17 +34,18 @@ def main():
     if "--configs" in sys.argv:
         raw = sys.argv[sys.argv.index("--configs") + 1]
         configs = [tuple(map(int, c.split(","))) for c in raw.split()]
-    configs = [c if len(c) == 4 else (*c, 1) for c in configs]
+    configs = [(*c, *((1,) * (5 - len(c)))) for c in configs]
 
     rng = np.random.default_rng(0)
     graph, _, _ = build_synthetic_graph(rng)
     n = NUM_USERS + NUM_ITEMS
     x0 = jnp.asarray(rng.normal(0, 0.1, (n, DIM)).astype(np.float32))
 
-    for bn, ce, pack, split in configs:
+    for bn, ce, pack, split, mxu_parts in configs:
         t0 = time.perf_counter()
         blocked = block_graph(graph.src, graph.dst, graph.weight, n,
-                              block_n=bn, chunk_e=ce, pack=pack, split=split)
+                              block_n=bn, chunk_e=ce, pack=pack, split=split,
+                              mxu_parts=mxu_parts)
         host_s = time.perf_counter() - t0
         meta = blocked.meta
         arrays = blocked.device_arrays()
@@ -72,6 +74,7 @@ def main():
 
         print(json.dumps({
             "block_n": bn, "chunk_e": ce, "pack": pack, "split": split,
+            "mxu_parts": mxu_parts,
             "chunks": meta.num_chunks, "pad_factor": round(pad_factor, 3),
             "host_chunk_s": round(host_s, 2), "compile_s": round(compile_s, 1),
             "ms_per_pass": round(per_pass_ms, 2),

@@ -59,6 +59,11 @@ class SpmmMeta:
                               # chunk holds `split` runs with independent
                               # src blocks but ONE dst block, so small
                               # block_n keeps low padding (see block_graph)
+    mxu_parts: int = 1        # wide-kernel matmul granularity: >1 chops the
+                              # per-chunk gather/scatter matmuls into that
+                              # many independent sub-matmul chains so Mosaic
+                              # can overlap one-hot VPU builds with MXU work
+                              # (identical FLOPs; pack=2 split=1 path only)
 
 
 class BlockedGraph:
@@ -93,7 +98,8 @@ class BlockedGraph:
 def block_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
                 num_nodes: int, block_n: int = 1024,
                 chunk_e: int = 1024, pack: int = 1,
-                wide: bool = True, split: int = 1) -> BlockedGraph:
+                wide: bool = True, split: int = 1,
+                mxu_parts: int = 1) -> BlockedGraph:
     assert chunk_e % 128 == 0 and chunk_e // 128 >= 8, \
         "chunk_e must be a multiple of 128 with >=8 sublanes (TPU tiling)"
     assert split in (1, 2, 4, 8) and chunk_e % (128 * split) == 0
@@ -187,7 +193,12 @@ def block_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
     assert pack in (1, 2)
     if split > 1:
         assert pack == 2 and wide, "split chunks: packed wide kernel only"
-    meta = SpmmMeta(n_pad, num_nodes, block_n, chunk_e, C, pack, wide, split)
+    if mxu_parts > 1:
+        assert pack == 2 and wide and split == 1 and \
+            (chunk_e // 128) % mxu_parts == 0, \
+            "mxu_parts: packed wide split-1 kernel only"
+    meta = SpmmMeta(n_pad, num_nodes, block_n, chunk_e, C, pack, wide, split,
+                    mxu_parts)
     if split == 1:
         chunk_sb = chunk_sb[:, 0]
     return BlockedGraph(meta, chunk_sb, chunk_db, src_local, dst_local, w)
@@ -253,7 +264,7 @@ def _spmm_kernel(sb_ref, db_ref, x_ref, sl_ref, dl_ref, w_ref, out_ref,
 
 def _spmm_kernel_packed(db_ref, *refs,
                         block_n, chunk_e, feat, acc_dtype, interpret, wide,
-                        split=1):
+                        split=1, mxu_parts=1):
     """pack=2 variant: a block of ``block_n`` nodes is stored as
     (block_n/2, 2*feat) — two half-blocks side by side in the 128 lanes.
 
@@ -283,6 +294,45 @@ def _spmm_kernel_packed(db_ref, *refs,
     rows_b = jax.lax.broadcasted_iota(jnp.int32, (Br, 128), 0)
     lane_hi = (jax.lax.broadcasted_iota(jnp.int32, (1, 2 * feat), 1)
                >= feat).astype(jnp.int32)
+    if wide and split == 1 and mxu_parts > 1:
+        # mxu_parts independent gather->fixup->scatter chains per chunk:
+        # same FLOPs as the single-matmul form below, but the one-hot VPU
+        # builds of chain k+1 have no dependency on chain k's MXU matmuls,
+        # so the scheduler can overlap VPU and MXU work.
+        xb = x_refs[0][:].astype(acc_dtype)                    # (Br, 2F)
+        q_sub = chunk_e // 128
+        g_sub = q_sub // mxu_parts
+        acc = jnp.zeros_like(out_ref)
+        for gpart in range(mxu_parts):
+            oh_parts, ohT_parts, keep_parts, swap_parts = [], [], [], []
+            for t in range(g_sub):
+                j = gpart * g_sub + t
+                sl = sl_ref[0, j, :]
+                dl = dl_ref[0, j, :]
+                w = w_ref[0, j, :][:, None].astype(acc_dtype)
+                s_hi = (sl >= Br).astype(jnp.int32)
+                d_hi = (dl >= Br).astype(jnp.int32)
+                s_row = sl - s_hi * Br
+                d_row = dl - d_hi * Br
+                oh_parts.append((s_row[:, None] == lanes_b).astype(acc_dtype)
+                                * w)
+                ohT_parts.append((d_row[None, :] == rows_b).astype(acc_dtype))
+                keep_parts.append(lane_hi == s_hi[:, None])
+                swap_parts.append(jnp.broadcast_to(
+                    (s_hi ^ d_hi)[:, None], (128, 2 * feat)) == 1)
+            oh_s = jnp.concatenate(oh_parts, axis=0)           # (Ec/g, Br)
+            msgs = jax.lax.dot_general(
+                oh_s, xb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (Ec/g, 2F)
+            msgs = jnp.where(jnp.concatenate(keep_parts, axis=0), msgs, 0.0)
+            swapped = roll(msgs, feat, axis=1)
+            msgs = jnp.where(jnp.concatenate(swap_parts, axis=0), swapped, msgs)
+            oh_dT = jnp.concatenate(ohT_parts, axis=1)         # (Br, Ec/g)
+            acc = acc + jax.lax.dot_general(
+                oh_dT, msgs.astype(acc_dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (Br, 2F)
+        out_ref[:] += acc
+        return
     if wide:
         # Big-matmul fusion: per logical slot, one (q, Br) gather matmul
         # against that slot's src slab; the half-select (keep) and
@@ -412,7 +462,7 @@ def _spmm_call(meta: SpmmMeta, arrays: dict, x: jnp.ndarray,
             functools.partial(_spmm_kernel_packed, block_n=Bn, chunk_e=Ec,
                               feat=D, acc_dtype=acc_dtype,
                               interpret=_interpret(), wide=meta.wide,
-                              split=S),
+                              split=S, mxu_parts=meta.mxu_parts),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n // 2, 2 * D), jnp.float32),
             interpret=_interpret(),

@@ -84,9 +84,11 @@ def select_propagation(cfg: GNNConfig, graph: BipartiteGraph, num_nodes: int):
         from recsys_tpu.ops.pallas_spmm import block_graph, spmm
 
         pack = cfg.spmm_pack if cfg.emb_dim <= 64 else 1
+        split = cfg.spmm_split if pack == 2 else 1
+        mxu_parts = cfg.spmm_mxu_parts if (pack == 2 and split == 1) else 1
         blocked = block_graph(graph.src, graph.dst, graph.weight, num_nodes,
                               block_n=cfg.spmm_block_n, chunk_e=cfg.spmm_chunk_e,
-                              pack=pack, split=cfg.spmm_split if pack == 2 else 1)
+                              pack=pack, split=split, mxu_parts=mxu_parts)
         arrays = {k: jax.device_put(v) for k, v in blocked.device_arrays().items()}
         meta = blocked.meta
         return (lambda args, x: spmm(meta, args, x, "bf16")), arrays
