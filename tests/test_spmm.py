@@ -92,3 +92,26 @@ def test_spmm_split_chunks_parity(graph, split):
     dx_ref = propagate(g, jnp.asarray(graph.src), jnp.asarray(graph.dst),
                        jnp.asarray(graph.weight), n)
     np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("mxu_parts", [2, 4])
+def test_spmm_mxu_parts_parity(graph, mxu_parts):
+    """mxu_parts>1 chops the wide kernel's per-chunk matmuls into
+    independent sub-chains (VPU/MXU overlap); result must match exactly,
+    forward and grad (the default GNN config runs mxu_parts=2)."""
+    n = graph.num_nodes
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(n, 64)).astype(np.float32))
+    ref = propagate(x, jnp.asarray(graph.src), jnp.asarray(graph.dst),
+                    jnp.asarray(graph.weight), n)
+    blocked = block_graph(graph.src, graph.dst, graph.weight, n,
+                          block_n=256, chunk_e=1024, pack=2,
+                          mxu_parts=mxu_parts)
+    arrays = blocked.device_arrays()
+    got = spmm(blocked.meta, arrays, x, "f32")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    g = jnp.asarray(rng.normal(size=(n, 64)).astype(np.float32))
+    dx = jax.grad(lambda xx: jnp.sum(spmm(blocked.meta, arrays, xx, "f32") * g))(x)
+    dx_ref = propagate(g, jnp.asarray(graph.src), jnp.asarray(graph.dst),
+                       jnp.asarray(graph.weight), n)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), atol=1e-5)
