@@ -138,3 +138,39 @@ def test_steps_per_epoch_min_multiplies_passes(stage2_data, mesh, tmp_path):
     passes = -(-7 // base)
     assert int(state.step) == base * passes
     assert len(history) == 1
+
+
+def test_step_numerics_mesh_size_invariant(stage2_data):
+    """jit-SPMD must be semantics-preserving: the SAME train step on a
+    1-device mesh and an 8-device (data x model) mesh produces the same
+    loss trajectory (sharding changes layout, not math — SURVEY.md §2.12's
+    DP design depends on this)."""
+    from recsys_tpu.config import MeshConfig
+    from recsys_tpu.parallel.mesh import data_sharding, replicated
+    from recsys_tpu.train.state import TrainState
+
+    rng = np.random.default_rng(0)
+    pretrained = rng.normal(0, 0.05, (121, 128)).astype(np.float32)
+    t = stage2_data["tensors"]
+    n = t["input_ids"].shape[0]
+    sample = sasrec._slice(t, np.arange(16))
+    losses = {}
+    for name, mcfg in [("m1", MeshConfig(num_data=1, num_model=1)),
+                       ("m8", MeshConfig(num_data=4, num_model=2))]:
+        mesh = build_mesh(mcfg, jax.devices()[: mcfg.num_data * mcfg.num_model])
+        key = jax.random.PRNGKey(7)
+        params, models = sasrec.init_stage2_params(CFG, 121, pretrained,
+                                                   jax.random.PRNGKey(0), sample)
+        tx = sasrec.make_stage2_optimizer(CFG, params, steps_per_epoch=4)
+        state = jax.device_put(TrainState.create(params, tx), replicated(mesh))
+        step_fn, _ = sasrec.make_stage2_step(CFG, models, stage2_data["side"],
+                                             stage2_data["logq"])
+        traj = []
+        for s in range(3):
+            idx = np.arange(s * 16, s * 16 + 16) % n
+            batch = jax.device_put(sasrec._slice(t, idx), data_sharding(mesh))
+            key, sub = jax.random.split(key)
+            state, aux = step_fn(state, batch, sub)
+            traj.append(float(aux["loss"]))
+        losses[name] = traj
+    np.testing.assert_allclose(losses["m1"], losses["m8"], rtol=5e-4)
