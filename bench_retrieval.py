@@ -87,7 +87,12 @@ def main():
         (47_000, 50, 256, 16),
         (1_000_000, 100, 1024, 32),
     ]:
-        print(json.dumps(bench_catalog(n_items, k, nlist, nprobe, rng)))
+        try:
+            print(json.dumps(bench_catalog(n_items, k, nlist, nprobe, rng)),
+                  flush=True)
+        except Exception as e:  # one config failing must not kill the sweep
+            print(json.dumps({"n_items": n_items, "k": k,
+                              "error": str(e)[:200]}), flush=True)
 
 
 if __name__ == "__main__":
