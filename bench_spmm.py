@@ -34,6 +34,10 @@ def main():
     if "--configs" in sys.argv:
         raw = sys.argv[sys.argv.index("--configs") + 1]
         configs = [tuple(map(int, c.split(","))) for c in raw.split()]
+    for c in configs:
+        if not 3 <= len(c) <= 5:
+            raise SystemExit(f"bad config {c}: want block_n,chunk_e,pack"
+                             f"[,split[,mxu_parts]]")
     configs = [(*c, *((1,) * (5 - len(c)))) for c in configs]
 
     rng = np.random.default_rng(0)

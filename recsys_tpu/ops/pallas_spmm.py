@@ -294,11 +294,14 @@ def _spmm_kernel_packed(db_ref, *refs,
     rows_b = jax.lax.broadcasted_iota(jnp.int32, (Br, 128), 0)
     lane_hi = (jax.lax.broadcasted_iota(jnp.int32, (1, 2 * feat), 1)
                >= feat).astype(jnp.int32)
-    if wide and split == 1 and mxu_parts > 1:
-        # mxu_parts independent gather->fixup->scatter chains per chunk:
-        # same FLOPs as the single-matmul form below, but the one-hot VPU
-        # builds of chain k+1 have no dependency on chain k's MXU matmuls,
-        # so the scheduler can overlap VPU and MXU work.
+    if wide and split == 1:
+        # The whole split=1 wide path: mxu_parts independent
+        # gather->fixup->scatter chains per chunk (mxu_parts=1 == the
+        # single-matmul form). Same FLOPs at any parts count, but with
+        # parts>1 the one-hot VPU builds of chain k+1 have no dependency
+        # on chain k's MXU matmuls, so the scheduler overlaps VPU and MXU
+        # work (~15% per-pass at bench scale; see GNNConfig.spmm_mxu_parts).
+        # The split>1 variant below keeps its own per-slot-slab form.
         xb = x_refs[0][:].astype(acc_dtype)                    # (Br, 2F)
         q_sub = chunk_e // 128
         g_sub = q_sub // mxu_parts

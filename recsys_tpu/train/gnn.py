@@ -86,6 +86,8 @@ def select_propagation(cfg: GNNConfig, graph: BipartiteGraph, num_nodes: int):
         pack = cfg.spmm_pack if cfg.emb_dim <= 64 else 1
         split = cfg.spmm_split if pack == 2 else 1
         mxu_parts = cfg.spmm_mxu_parts if (pack == 2 and split == 1) else 1
+        if (cfg.spmm_chunk_e // 128) % max(mxu_parts, 1):
+            mxu_parts = 1  # odd sub-chunk counts: fall back, don't crash
         blocked = block_graph(graph.src, graph.dst, graph.weight, num_nodes,
                               block_n=cfg.spmm_block_n, chunk_e=cfg.spmm_chunk_e,
                               pack=pack, split=split, mxu_parts=mxu_parts)
