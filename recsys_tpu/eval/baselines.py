@@ -130,7 +130,7 @@ def blend_sweep(user_vecs: np.ndarray, item_matrix: np.ndarray,
                 logq: np.ndarray, histories: np.ndarray, user_ids,
                 targets_idx: dict, ks=(20, 100, 500),
                 alphas=(0.0, 0.1, 0.2, 0.3, 0.5, 0.7, 0.9),
-                betas=(0.0, 0.3, 1.0)) -> dict:
+                betas=(0.0, 0.3, 1.0), device: bool | None = None) -> dict:
     """Prior-blended retrieval: fuse the tower's cosine scores with the
     popularity prior and a seen-item (repurchase) bonus, sweeping weights.
 
@@ -143,11 +143,23 @@ def blend_sweep(user_vecs: np.ndarray, item_matrix: np.ndarray,
 
         score = (1-alpha) * minmax_u(cos) + alpha * minmax(logq) + beta * seen
 
-    Host numpy here (eval-scale), CHUNKED over users — an unchunked score
-    matrix is ~6 GB per array at 31k eval users x 47k items; at production
-    scale the same blend rides ``topk_scores(prior=...)`` on the
-    row-sharded TPU path.
+    Two backends behind one contract: host numpy (CHUNKED over users — an
+    unchunked score matrix is ~6 GB per array at 31k eval users x 47k
+    items) and, when an accelerator is present, a jitted device sweep
+    (``_blend_topk_device``) that scans the (alpha, beta) grid over one
+    resident (B, N+1) score block per batch — at 470k items x 79k eval
+    users the host sweep is ~45 min on 2 vCPUs vs minutes on one chip. At
+    production scale the same blend rides ``topk_scores(prior=...)`` on
+    the row-sharded TPU path.
     """
+    if device is None:
+        import jax
+
+        device = (jax.default_backend() != "cpu"
+                  and user_vecs.shape[0] * item_matrix.shape[0] > 2e8)
+    if device:
+        return _blend_sweep_device(user_vecs, item_matrix, logq, histories,
+                                   user_ids, targets_idx, ks, alphas, betas)
     # np.array (copy): asarray of a device buffer can hand back a
     # read-only view, breaking the in-place normalize
     items = np.array(item_matrix, np.float32)
@@ -178,6 +190,67 @@ def blend_sweep(user_vecs: np.ndarray, item_matrix: np.ndarray,
         idx = (np.concatenate(idx_parts[(alpha, beta)])
                if idx_parts[(alpha, beta)]
                else np.zeros((0, max_k), np.int64))
+        table[f"a{alpha}_b{beta}"] = recall_at_ks(idx, user_ids,
+                                                  targets_idx, ks)
+    key = f"recall@{sorted(ks)[min(1, len(ks) - 1)]}"
+    best = max(table, key=lambda t: table[t][key])
+    return {"table": table, "best": best, "best_metrics": table[best]}
+
+
+def _blend_sweep_device(user_vecs, item_matrix, logq, histories, user_ids,
+                        targets_idx, ks, alphas, betas) -> dict:
+    """Device backend for ``blend_sweep`` — identical math: per user batch,
+    one resident (B, N+1) cosine block, ``lax.scan`` over the (alpha, beta)
+    grid doing mask+blend+exact top-k. Exact ``lax.top_k`` keeps reported
+    recalls honest (ties may order differently than the host argpartition;
+    scores are continuous so this doesn't move the metrics)."""
+    import jax
+    import jax.numpy as jnp
+
+    items = np.array(item_matrix, np.float32)
+    items /= np.clip(np.linalg.norm(items, axis=-1, keepdims=True), 1e-12, None)
+    pop = _minmax(np.asarray(logq, np.float64)).astype(np.float32)
+    max_k = max(ks)
+    combos = [(a, b) for a in alphas for b in betas]
+    ab = jnp.asarray(np.array(combos, np.float32))           # (M, 2)
+    bs = 1024
+
+    @jax.jit
+    def batch_topk(u, it, pp, hist):
+        cos = u @ it.T                                        # (B, N+1)
+        lo = cos.min(1, keepdims=True)
+        hi = cos.max(1, keepdims=True)
+        cos = (cos - lo) / jnp.clip(hi - lo, 1e-12, None)
+        rows = jnp.repeat(jnp.arange(u.shape[0]), hist.shape[1])
+        seen = jnp.zeros_like(cos).at[rows, hist.reshape(-1)].max(1.0)
+
+        def one(_, c):
+            alpha, beta = c[0], c[1]
+            s = (1 - alpha) * cos + alpha * pp[None, :] + beta * seen
+            s = s.at[:, 0].set(-jnp.inf)                      # PAD row
+            _, idx = jax.lax.top_k(s, max_k)
+            return None, idx
+
+        _, idxs = jax.lax.scan(one, None, ab)                 # (M, B, k)
+        return idxs
+
+    items_dev = jnp.asarray(items)
+    pop_dev = jnp.asarray(pop)
+    parts = []
+    n = len(user_vecs)
+    for s0 in range(0, n, bs):
+        u = np.asarray(user_vecs[s0:s0 + bs], np.float32)
+        h = np.asarray(histories[s0:s0 + bs])
+        orig = len(u)
+        if orig < bs:  # fixed shapes: one compile for every batch
+            u = np.concatenate([u, np.zeros((bs - orig, u.shape[1]), np.float32)])
+            h = np.concatenate([h, np.zeros((bs - orig, h.shape[1]), h.dtype)])
+        out = batch_topk(jnp.asarray(u), items_dev, pop_dev, jnp.asarray(h))
+        parts.append(np.asarray(out)[:, :orig])
+    table: dict = {}
+    for m, (alpha, beta) in enumerate(combos):
+        idx = (np.concatenate([p[m] for p in parts])
+               if parts else np.zeros((0, max_k), np.int64))
         table[f"a{alpha}_b{beta}"] = recall_at_ks(idx, user_ids,
                                                   targets_idx, ks)
     key = f"recall@{sorted(ks)[min(1, len(ks) - 1)]}"

@@ -142,3 +142,29 @@ def test_topk_scores_prior():
     _, idx = topk_scores(jnp.asarray(u), jnp.asarray(items), 1,
                          prior=jnp.asarray(prior))
     assert idx.tolist() == [[2], [2]]
+
+
+def test_blend_sweep_device_backend_matches_host():
+    """The jitted device sweep must produce the same recall table as the
+    chunked host-numpy sweep (same math; only tie order may differ)."""
+    from recsys_tpu.eval.baselines import blend_sweep
+
+    rng = np.random.default_rng(3)
+    B, N, D = 37, 60, 8   # odd B exercises the fixed-shape batch padding
+    items = rng.normal(size=(N + 1, D)).astype(np.float32)
+    items[0] = 0
+    uvecs = rng.normal(size=(B, D)).astype(np.float32)
+    logq = rng.normal(-5, 1, N + 1).astype(np.float32)
+    logq[0] = -20.0
+    hist = rng.integers(1, N + 1, (B, 4))
+    uids = [f"u{r}" for r in range(B)]
+    targets = {u: set(rng.integers(1, N + 1, 3).tolist()) for u in uids}
+    kw = dict(ks=(5, 20), alphas=(0.0, 0.3, 0.9), betas=(0.0, 1.0))
+    host = blend_sweep(uvecs, items, logq, hist, uids, targets,
+                       device=False, **kw)
+    dev = blend_sweep(uvecs, items, logq, hist, uids, targets,
+                      device=True, **kw)
+    assert host["best"] == dev["best"]
+    for combo, m in host["table"].items():
+        for k, v in m.items():
+            assert abs(dev["table"][combo][k] - v) < 1e-9, (combo, k)
