@@ -48,10 +48,36 @@ def graph_from_transactions(tx_df, user_map, item_map, cfg: GNNConfig,
                        svd_rank=cfg.svd_rank, svd_iters=cfg.svd_iters, seed=seed)
 
 
+def edge_key_index(graph_u: np.ndarray, graph_i: np.ndarray,
+                   num_items: int) -> np.ndarray:
+    """Sorted unique (user*num_items+item) keys for O(log E) membership."""
+    return np.unique(graph_u.astype(np.int64) * num_items
+                     + graph_i.astype(np.int64))
+
+
+def _in_edges(sorted_keys: np.ndarray, users: np.ndarray, neg: np.ndarray,
+              num_items: int) -> np.ndarray:
+    cand = users.astype(np.int64) * num_items + neg.astype(np.int64)
+    so = np.argsort(cand, kind="stable")  # ordered probes: ~1.5x fewer cache misses
+    pos = np.minimum(np.searchsorted(sorted_keys, cand[so]),
+                     len(sorted_keys) - 1)
+    out = np.zeros(len(cand), bool)
+    out[so] = sorted_keys[pos] == cand[so]
+    return out
+
+
 def sample_bpr_batches(graph_u: np.ndarray, graph_i: np.ndarray, num_items: int,
-                       batch_size: int, rng: np.random.Generator):
-    """Shuffled (users, pos, rejection-sampled neg) batches over all edges."""
-    keys = set((graph_u * num_items + graph_i).tolist())
+                       batch_size: int, rng: np.random.Generator,
+                       sorted_keys: np.ndarray | None = None):
+    """Shuffled (users, pos, rejection-sampled neg) batches over all edges.
+
+    Negative rejection is a searchsorted probe against the sorted edge-key
+    array — pure numpy, no Python set membership (the round-1 form hashed
+    8192 Python ints per rejection round per batch: ~45x slower measured at
+    22.6M edges, and the set itself cost ~2 GB). Pass ``sorted_keys``
+    (from :func:`edge_key_index`) to amortize the sort across epochs."""
+    if sorted_keys is None:
+        sorted_keys = edge_key_index(graph_u, graph_i, num_items)
     order = rng.permutation(len(graph_u))
     end = len(order) - len(order) % batch_size
     if end == 0 and len(order) > 0:
@@ -61,25 +87,35 @@ def sample_bpr_batches(graph_u: np.ndarray, graph_i: np.ndarray, num_items: int,
         users, pos = graph_u[idx], graph_i[idx]
         neg = rng.integers(0, num_items, size=len(idx))
         for _ in range(10):  # vectorized rejection rounds
-            bad = np.fromiter(((u * num_items + n) in keys for u, n in zip(users, neg)),
-                              bool, len(neg))
+            bad = _in_edges(sorted_keys, users, neg, num_items)
             if not bad.any():
                 break
             neg[bad] = rng.integers(0, num_items, size=int(bad.sum()))
         yield users.astype(np.int32), pos.astype(np.int32), neg.astype(np.int32)
 
 
-def select_propagation(cfg: GNNConfig, graph: BipartiteGraph, num_nodes: int):
+def select_propagation(cfg: GNNConfig, graph: BipartiteGraph, num_nodes: int,
+                       mesh=None):
     """Pick the propagation backend + its device-resident args.
 
     'auto' -> the block-SpMM Pallas kernel on accelerators (scatter-free,
     ~3.5x the XLA segment_sum path at 22.6M edges), plain segment_sum on
-    the CPU test mesh."""
+    the CPU test mesh. 'segment_sum_sharded' (requires ``mesh``) shards the
+    edge list over the mesh's model axis — each shard segment-sums its
+    slice, one psum merges (multi-chip full-graph propagation)."""
     from recsys_tpu.ops import use_pallas
 
     mode = cfg.propagation
     if mode == "auto":
         mode = "spmm" if use_pallas("auto") else "segment_sum"
+    if mode == "segment_sum_sharded":
+        if mesh is None:
+            raise ValueError("segment_sum_sharded propagation needs a mesh")
+        from recsys_tpu.ops.graph import make_edge_sharded_propagate
+
+        axis = mesh.axis_names[1]
+        prop_fn, place_edges = make_edge_sharded_propagate(mesh, num_nodes, axis)
+        return prop_fn, place_edges(graph.src, graph.dst, graph.weight)
     if mode == "spmm":
         from recsys_tpu.ops.pallas_spmm import block_graph, spmm
 
@@ -170,6 +206,7 @@ def train_lightgcl(cfg: Config, graph: BipartiteGraph, edges_u: np.ndarray,
     step_fn = make_gnn_step(model, graph, g, prop_args)
     writer = writer or MetricWriter(f"{workdir}/metrics.jsonl", "lightgcl")
     rng = np.random.default_rng(cfg.data.seed)
+    sorted_keys = edge_key_index(edges_u, edges_i, graph.num_items)
 
     gstep = 0
     for epoch in range(start_epoch, g.epochs + 1):
@@ -177,7 +214,8 @@ def train_lightgcl(cfg: Config, graph: BipartiteGraph, edges_u: np.ndarray,
         for _pass in range(passes):   # steps floor: shuffled re-passes
             for users, pos, neg in sample_bpr_batches(edges_u, edges_i,
                                                       graph.num_items,
-                                                      g.batch_size, rng):
+                                                      g.batch_size, rng,
+                                                      sorted_keys):
                 state, aux = step_fn(state, jnp.asarray(users), jnp.asarray(pos),
                                      jnp.asarray(neg))
                 tot += float(aux["loss"]); nb += 1; gstep += 1

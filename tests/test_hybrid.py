@@ -50,6 +50,71 @@ def test_ensemble_primitives():
     # top-1 ids of each list tie; shared item 3 accumulates two terms and wins
 
 
+def _dict_weighted(idx_a, sc_a, idx_b, sc_b, k, alpha):
+    """Brute-force per-row dict reference (the reference's own algorithm:
+    pool dict keyed by id in insertion order, stable sort by -score)."""
+    B = idx_a.shape[0]
+    out = np.full((B, k), -1, dtype=idx_a.dtype)
+    for r in range(B):
+        def norm(s):
+            lo, hi = float(s.min()), float(s.max())
+            return (s - lo) / (hi - lo) if hi > lo else np.ones_like(s)
+        pool: dict = {}
+        for i, s in zip(idx_a[r], norm(sc_a[r].astype(np.float64))):
+            pool[int(i)] = pool.get(int(i), 0.0) + alpha * s
+        for i, s in zip(idx_b[r], norm(sc_b[r].astype(np.float64))):
+            pool[int(i)] = pool.get(int(i), 0.0) + (1 - alpha) * s
+        ranked = sorted(pool.items(), key=lambda kv: -kv[1])[:k]
+        for j, (i, _) in enumerate(ranked):
+            out[r, j] = i
+    return out
+
+
+def _dict_rrf(idx_a, idx_b, k, k_rrf):
+    B = idx_a.shape[0]
+    out = np.full((B, k), -1, dtype=idx_a.dtype)
+    for r in range(B):
+        pool: dict = {}
+        for rank, i in enumerate(idx_a[r]):
+            pool[int(i)] = pool.get(int(i), 0.0) + 1.0 / (k_rrf + rank + 1)
+        for rank, i in enumerate(idx_b[r]):
+            pool[int(i)] = pool.get(int(i), 0.0) + 1.0 / (k_rrf + rank + 1)
+        ranked = sorted(pool.items(), key=lambda kv: -kv[1])[:k]
+        for j, (i, _) in enumerate(ranked):
+            out[r, j] = i
+    return out
+
+
+def test_vectorized_fusers_match_dict_reference():
+    """Vectorized fusers == per-row dict algorithm, including tie order.
+
+    Quantized scores force many exact score ties, exercising the
+    argpartition-boundary tie handling in _topk_rows."""
+    rng = np.random.default_rng(7)
+    B, M, k = 40, 30, 12
+    idx_a = rng.integers(0, 60, size=(B, M))
+    idx_b = rng.integers(0, 60, size=(B, M))
+    # integer scores 0..8 min-max to exact binary fractions k/8, and binary
+    # alphas: every sum is exact in f64, so tie comparisons are bit-stable
+    # across both implementations
+    sc_a = np.sort(rng.integers(0, 9, size=(B, M)).astype(np.float64), 1)[:, ::-1]
+    sc_b = np.sort(rng.integers(0, 9, size=(B, M)).astype(np.float64), 1)[:, ::-1]
+    sc_a[:, 0], sc_b[:, 0] = 8.0, 8.0  # pin range to exactly 8
+    sc_a[:, -1], sc_b[:, -1] = 0.0, 0.0
+    for alpha in (1.0, 0.5, 0.25, 0.0):
+        got = weighted_score_ensemble(idx_a, sc_a, idx_b, sc_b, k, alpha)
+        want = _dict_weighted(idx_a, sc_a, idx_b, sc_b, k, alpha)
+        np.testing.assert_array_equal(got, want, err_msg=f"alpha={alpha}")
+    got = rrf_ensemble(idx_a, idx_b, k, k_rrf=20)
+    want = _dict_rrf(idx_a, idx_b, k, 20)
+    np.testing.assert_array_equal(got, want)
+    # constant-score row: min-max range 0 -> all normalize to 1 (both impls)
+    ca = np.ones((2, M))
+    got = weighted_score_ensemble(idx_a[:2], ca, idx_b[:2], ca, k, 0.5)
+    want = _dict_weighted(idx_a[:2], ca, idx_b[:2], ca, k, 0.5)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_alpha_sweep_reports_best():
     rng = np.random.default_rng(0)
     # model A is perfect for half the users, model B for the other half
