@@ -1,15 +1,25 @@
 """Benchmark vs the reference's published throughput anchor.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per anchor: {"metric", "value", "unit", "vs_baseline"}.
+The LAST line is the headline anchor (LightGCL vs the reference's only
+published throughput number).
 
-The only throughput trace the reference publishes is LightGCL training at
-1.50 it/s with batch 8192 on a CUDA GPU — 12 288 examples/s — with
-full-graph propagation every step over its ~11.3M-interaction H&M graph
-(`gnn_model/v1_lightgcl.py:645`; BASELINE.md). This bench reproduces that
-workload shape on one TPU chip: a synthetic bipartite graph with the same
-edge count (11.3M interactions -> 22.6M directed edges), dim-64 embeddings,
-2-layer segment-sum propagation + rank-5 SVD global view, BPR + SSL + reg,
-batch 8192 — and reports training examples/s.
+Anchor 1 (headline): the only throughput trace the reference publishes is
+LightGCL training at 1.50 it/s with batch 8192 on a CUDA GPU — 12 288
+examples/s — with full-graph propagation every step over its
+~11.3M-interaction H&M graph (`gnn_model/v1_lightgcl.py:645`; BASELINE.md).
+This bench reproduces that workload shape on one TPU chip: a synthetic
+bipartite graph with the same edge count (11.3M interactions -> 22.6M
+directed edges), dim-64 embeddings, 2-layer segment-sum propagation +
+rank-5 SVD global view, BPR + SSL + reg, batch 8192 — and reports training
+examples/s.
+
+Anchor 2 (variance discipline, VERDICT r1 item 8): the full stage-2 SASRec
+training step at the reference config (bs 768, L=50, 47k-item catalog,
+LogQ-corrected sampled softmax + DuoRec) measured with the fused Pallas
+loss kernel AND the plain-XLA loss in the SAME session — `vs_baseline` is
+the same-session Pallas/XLA ratio, immune to the ~2x tunnel-session noise
+the round-1 single anchor inherited.
 """
 
 import json
@@ -53,6 +63,65 @@ def build_synthetic_graph(rng):
     sv = rng.normal(0, 0.01, (n, q)).astype(np.float32)
     graph = BipartiteGraph(NUM_USERS, NUM_ITEMS, src, dst, weight, su, ss, sv)
     return graph, u, i
+
+
+SASREC_BATCH = 768
+SASREC_LEN = 50
+SASREC_STEPS = 20
+
+
+def _sasrec_synthetic(rng, cfg):
+    """Reference-shape synthetic stage-2 tensors (compute is value-blind)."""
+    B, L, N = SASREC_BATCH, SASREC_LEN, NUM_ITEMS
+    utc = cfg.user_tower
+    batch = {
+        "input_ids": rng.integers(1, N + 1, (B, L)).astype(np.int32),
+        "target_ids": rng.integers(1, N + 1, (B, L)).astype(np.int32),
+        "time_buckets": rng.integers(0, utc.num_time_buckets, (B, L)).astype(np.int32),
+        "seq_mask": np.ones((B, L), np.int32),
+        "user_buckets": rng.integers(0, 10, (B, utc.static_bucket_fields)).astype(np.int32),
+        "user_cats": rng.integers(0, 2, (B, utc.static_cat_fields)).astype(np.int32),
+        "user_cont": rng.normal(0, 1, (B, utc.static_cont_fields)).astype(np.float32),
+    }
+    side = rng.integers(0, 1000, (N + 1, utc.num_side_fields)).astype(np.int32)
+    logq = rng.normal(-8.0, 1.0, N + 1).astype(np.float32)
+    return batch, side, logq
+
+
+def bench_sasrec():
+    from recsys_tpu.config import Config, DataConfig, UserTrainConfig
+    from recsys_tpu.train import sasrec
+    from recsys_tpu.train.state import TrainState
+
+    rng = np.random.default_rng(0)
+    results = {}
+    for kernel in ("xla", "pallas"):
+        cfg = Config(data=DataConfig(),
+                     user_train=UserTrainConfig(kernel=kernel))
+        batch_np, side, logq = _sasrec_synthetic(rng, cfg)
+        params, models = sasrec.init_stage2_params(
+            cfg, NUM_ITEMS + 1, None, jax.random.PRNGKey(0), batch_np)
+        tx = sasrec.make_stage2_optimizer(cfg, params, steps_per_epoch=1787)
+        state = TrainState.create(params, tx)
+        step_fn, _ = sasrec.make_stage2_step(cfg, models, side, logq)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        keys = [jax.random.PRNGKey(i) for i in range(SASREC_STEPS + 3)]
+        for k in keys[:3]:  # warmup/compile
+            state, aux = step_fn(state, batch, k)
+        _ = float(aux["loss"])
+        t0 = time.perf_counter()
+        for k in keys[3:]:
+            state, aux = step_fn(state, batch, k)
+        _ = float(aux["loss"])  # transitively waits on every chained step
+        results[kernel] = SASREC_STEPS * SASREC_BATCH / (time.perf_counter() - t0)
+    print(json.dumps({
+        "metric": "sasrec_train_examples_per_s",
+        "value": round(results["pallas"], 1),
+        "unit": (f"examples/s/chip (bs {SASREC_BATCH}, L={SASREC_LEN}, 47k "
+                 "catalog, fused Pallas loss; vs_baseline = same-session "
+                 "Pallas/XLA step ratio)"),
+        "vs_baseline": round(results["pallas"] / results["xla"], 2),
+    }))
 
 
 def main():
@@ -119,4 +188,6 @@ if __name__ == "__main__":
         with profile_trace("artifacts/trace"):
             main()
     else:
-        main()
+        if "--skip-sasrec" not in sys.argv:
+            bench_sasrec()
+        main()  # headline anchor last

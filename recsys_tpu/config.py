@@ -145,6 +145,12 @@ class UserTrainConfig:
     plateau_factor: float = 0.5    # ReduceLROnPlateau on Recall@100
     plateau_patience: int = 2
     kernel: str = "auto"           # contrastive kernel: auto | pallas | xla
+    # item-matrix lookup strategy: "dense" = jnp.take under jit-SPMD (XLA
+    # inserts collectives for a row-sharded matrix); "a2a" = explicit
+    # DLRM-style shard_map exchange over the model axis
+    # (parallel.collectives.rowsharded_lookup_a2a) — for tables too large
+    # to make the psum path's O(B·D)-per-shard traffic acceptable
+    lookup: str = "dense"
     random_cut_prob: float = 0.2   # sequence augmentation (stage-2 + hybrid)
     # item-embedding treatment in the logq loss: "l2" scores cosine both
     # sides; "none" keeps raw item rows (the reference's SASRecItemTower is
@@ -184,8 +190,11 @@ class GNNConfig:
     steps_per_epoch_min: int = 100
     logit_clamp: float = 100.0
     # propagation backend: auto -> block-SpMM Pallas kernel on accelerators
-    # (3.5x the XLA scatter path), segment_sum on the CPU test mesh
-    propagation: str = "auto"      # auto | spmm | segment_sum
+    # (3.5x the XLA scatter path), segment_sum on the CPU test mesh;
+    # segment_sum_sharded shards the edge list over the mesh's model axis
+    # (per-shard segment-sum partials + one psum — multi-chip full-graph
+    # propagation; requires passing a mesh to select_propagation)
+    propagation: str = "auto"  # auto | spmm | segment_sum | segment_sum_sharded
     spmm_block_n: int = 1024
     spmm_chunk_e: int = 1024
     # 2 = two half-blocks share the 128 lanes (full MXU utilization at

@@ -108,3 +108,42 @@ def svd_propagate(x: jnp.ndarray, svd_u: jnp.ndarray, svd_s: jnp.ndarray,
                   svd_v: jnp.ndarray) -> jnp.ndarray:
     """Global (low-rank) view propagation: \\hat{A} x = U (S * (V^T x))."""
     return svd_u @ (svd_s[:, None] * (svd_v.T @ x))
+
+
+def make_edge_sharded_propagate(mesh, num_nodes: int, axis: str = "model"):
+    """Edge-sharded propagation: shard the edge list over ``axis``, each
+    shard segment-sums its slice into a full (num_nodes, D) partial, one
+    psum merges (edges are embarrassingly data-parallel — SURVEY §2.12 /
+    module docstring). x stays replicated; the psum transpose broadcasts
+    cotangents, so gradients flow to x on every shard.
+
+    Returns ``(prop_fn, place_edges)``: ``place_edges(src, dst, weight)``
+    pads the edge arrays to the axis size (dst 0 / weight 0 pads are no-ops)
+    and device_puts them sharded; ``prop_fn((src, dst, w), x)`` matches the
+    ``select_propagation`` contract."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from recsys_tpu.parallel.mesh import pad_to_multiple, smap
+
+    n_shards = dict(mesh.shape)[axis]
+    edge_sharding = NamedSharding(mesh, P(axis))
+
+    def place_edges(src, dst, weight):
+        src, _ = pad_to_multiple(np.asarray(src), n_shards)
+        dst, _ = pad_to_multiple(np.asarray(dst), n_shards)
+        weight, _ = pad_to_multiple(np.asarray(weight), n_shards, fill=0.0)
+        return tuple(jax.device_put(jnp.asarray(a), edge_sharding)
+                     for a in (src, dst, weight))
+
+    def _local(src_l, dst_l, w_l, x):
+        out = jax.ops.segment_sum(jnp.take(x, src_l, axis=0) * w_l[:, None],
+                                  dst_l, num_segments=num_nodes)
+        return jax.lax.psum(out, axis)
+
+    def prop_fn(args, x):
+        src, dst, w = args
+        return smap(_local, mesh,
+                    in_specs=(P(axis), P(axis), P(axis), P(None, None)),
+                    out_specs=P(None, None))(src, dst, w, x)
+
+    return prop_fn, place_edges

@@ -52,6 +52,44 @@ BATCH_KEYS = ("input_ids", "target_ids", "time_buckets", "seq_mask",
               "user_buckets", "user_cats", "user_cont")
 
 
+def _make_a2a_lookup(mesh):
+    """DLRM-style row-sharded item-matrix lookup (UserTrainConfig.lookup
+    = 'a2a'): the data-local id batch is re-split over the model axis, each
+    model shard resolves its slice against its table rows via all_to_all
+    (`parallel.collectives.rowsharded_lookup_a2a`), and an all_gather
+    reassembles the data-local result. Per-shard exchange traffic is
+    O(B·D/S) vs the psum path's O(B·D); wired here so the full stage-2 step
+    exercises it under `__graft_entry__.dryrun_multichip`."""
+    from jax.sharding import PartitionSpec as P
+
+    from recsys_tpu.parallel.collectives import rowsharded_lookup_a2a
+    from recsys_tpu.parallel.mesh import smap
+
+    data_ax, model_ax = mesh.axis_names
+    n_model = dict(mesh.shape)[model_ax]
+
+    def _local(table_local, ids_local):
+        flat = ids_local.reshape(-1)
+        b = flat.shape[0]
+        pad = -b % n_model
+        flat = jnp.pad(flat, (0, pad))
+        chunk = flat.shape[0] // n_model
+        mine = jax.lax.dynamic_slice_in_dim(
+            flat, jax.lax.axis_index(model_ax) * chunk, chunk)
+        emb_mine = rowsharded_lookup_a2a(table_local, mine, model_ax)
+        emb = jax.lax.all_gather(emb_mine, model_ax, axis=0, tiled=True)[:b]
+        return emb.reshape(*ids_local.shape, table_local.shape[1])
+
+    def lookup(params, ids):
+        out_spec = P(data_ax, *(None,) * ids.ndim)
+        return smap(_local, mesh,
+                    in_specs=(P(model_ax, None),
+                              P(data_ax, *(None,) * (ids.ndim - 1))),
+                    out_specs=out_spec)(params["item"]["item_matrix"], ids)
+
+    return lookup
+
+
 def prepare_stage2(cfg: Config, items, users, tx_df):
     """ETL -> fixed-shape stage-2 training data (the analogue of the
     reference's FeatureProcessor + dataset build, `v1_usertower_train.py:81-184`)."""
@@ -109,7 +147,8 @@ def make_stage2_optimizer(cfg: Config, params, steps_per_epoch: int):
     return with_lr_factor(tx)
 
 
-def make_stage2_step(cfg: Config, models, side: np.ndarray, logq: np.ndarray):
+def make_stage2_step(cfg: Config, models, side: np.ndarray, logq: np.ndarray,
+                     mesh=None):
     user_model, item_model = models
     ut, utc = cfg.user_train, cfg.user_tower
     logq_loss = select_logq_loss(ut.kernel)
@@ -117,8 +156,16 @@ def make_stage2_step(cfg: Config, models, side: np.ndarray, logq: np.ndarray):
     logq_c = jnp.asarray(logq)
     P_ = ut.positions_per_user
 
+    if ut.lookup == "a2a":
+        if mesh is None:
+            raise ValueError("lookup='a2a' needs a mesh")
+        lookup = _make_a2a_lookup(mesh)
+    else:  # "dense": jnp.take under jit-SPMD (XLA picks the collectives)
+        def lookup(params, ids):
+            return item_model.apply({"params": params["item"]}, ids)
+
     def forward(params, batch, key, deterministic=False):
-        item_vecs = item_model.apply({"params": params["item"]}, batch["input_ids"])
+        item_vecs = lookup(params, batch["input_ids"])
         side_ids = jnp.take(side_c, batch["input_ids"], axis=0)
         return user_model.apply(
             {"params": params["user"]}, item_vecs, batch["input_ids"],
@@ -145,7 +192,7 @@ def make_stage2_step(cfg: Config, models, side: np.ndarray, logq: np.ndarray):
                                      shape=(B, P_))           # (B, P_)
         rows = jnp.take_along_axis(u1, pos[..., None], axis=1).reshape(B * P_, D)
         tgt_ids = jnp.take_along_axis(batch["target_ids"], pos, axis=1).reshape(-1)
-        tgt_emb = item_model.apply({"params": params["item"]}, tgt_ids)
+        tgt_emb = lookup(params, tgt_ids)
         if ut.item_target_norm == "l2" or ut.loss_variant in (
                 "hnm", "mixed_hnm", "margin"):  # mining assumes cosine
             tgt_emb = l2_normalize(tgt_emb)
@@ -191,7 +238,7 @@ def make_stage2_step(cfg: Config, models, side: np.ndarray, logq: np.ndarray):
 
     @jax.jit
     def user_vectors(params, batch):
-        item_vecs = item_model.apply({"params": params["item"]}, batch["input_ids"])
+        item_vecs = lookup(params, batch["input_ids"])
         side_ids = jnp.take(side_c, batch["input_ids"], axis=0)
         return user_model.apply(
             {"params": params["user"]}, item_vecs, batch["input_ids"],
@@ -294,7 +341,8 @@ def train_user_tower(cfg: Config, data: dict, pretrained_matrix: np.ndarray | No
                 plateau.best = entry["extra"]["plateau_best"]
                 plateau.scale = entry["extra"].get("plateau_scale", 1.0)
     state = jax.device_put(state, replicated(mesh))
-    step_fn, user_vectors_fn = make_stage2_step(cfg, models, data["side"], data["logq"])
+    step_fn, user_vectors_fn = make_stage2_step(cfg, models, data["side"],
+                                                data["logq"], mesh=mesh)
     writer = writer or MetricWriter(f"{workdir}/metrics.jsonl", "sasrec")
 
     rng = np.random.default_rng(cfg.data.seed + 1)

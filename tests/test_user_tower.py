@@ -174,3 +174,52 @@ def test_step_numerics_mesh_size_invariant(stage2_data):
             traj.append(float(aux["loss"]))
         losses[name] = traj
     np.testing.assert_allclose(losses["m1"], losses["m8"], rtol=5e-4)
+
+
+def test_stage2_a2a_lookup_matches_dense():
+    """lookup='a2a' (DLRM-style shard_map exchange over the model axis) must
+    reproduce the dense jnp.take step exactly: same params, same batch, same
+    rng -> same loss trajectory. Catalog pad 128 divides the model axis."""
+    import dataclasses
+
+    from recsys_tpu.parallel.mesh import data_sharding, replicated
+    from recsys_tpu.train.state import TrainState
+
+    cfg = Config(
+        data=DataConfig(num_items=127, num_users=40, days=50, seed=3),
+        vocab=VocabConfig(num_hash_buckets=50),
+        user_tower=UserTowerConfig(max_len=10, num_layers=1),
+        user_train=UserTrainConfig(batch_size=16, positions_per_user=2,
+                                   steps_per_epoch_min=1, kernel="xla"),
+    )
+    items, users, tx = generate_dataset(cfg.data)
+    data = sasrec.prepare_stage2(cfg, items, users, tx)
+    assert len(data["item_map"]) + 1 == 128
+    t = data["tensors"]
+    n = t["input_ids"].shape[0]
+    sample = sasrec._slice(t, np.arange(16))
+    mesh = build_mesh(MeshConfig(num_data=4, num_model=2), jax.devices()[:8])
+
+    losses = {}
+    for lookup in ("dense", "a2a"):
+        c = dataclasses.replace(
+            cfg, user_train=dataclasses.replace(cfg.user_train, lookup=lookup))
+        params, models = sasrec.init_stage2_params(c, 128, None,
+                                                   jax.random.PRNGKey(0), sample)
+        tx_opt = sasrec.make_stage2_optimizer(c, params, steps_per_epoch=4)
+        state = jax.device_put(TrainState.create(params, tx_opt), replicated(mesh))
+        step_fn, uv_fn = sasrec.make_stage2_step(c, models, data["side"],
+                                                 data["logq"], mesh=mesh)
+        key = jax.random.PRNGKey(9)
+        traj = []
+        for s in range(3):
+            idx = np.arange(s * 16, s * 16 + 16) % n
+            batch = jax.device_put(sasrec._slice(t, idx), data_sharding(mesh))
+            key, sub = jax.random.split(key)
+            state, aux = step_fn(state, batch, sub)
+            traj.append(float(aux["loss"]))
+        # the eval path goes through the lookup too
+        u = uv_fn(state.params, batch)
+        assert np.all(np.isfinite(np.asarray(u)))
+        losses[lookup] = traj
+    np.testing.assert_allclose(losses["dense"], losses["a2a"], rtol=1e-5)
