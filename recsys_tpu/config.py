@@ -58,6 +58,13 @@ class ItemTowerConfig:
     fusion_heads: int = 4
     head_hidden: Sequence[int] = (256, 512)  # DeepResidualHead expansion (`item_tower.py:77-128`)
     dropout: float = 0.1
+    # text-encoder backend: "hash" = trainable HashTextEncoder (default,
+    # self-contained); "pretrained" = frozen corpus-pretrained PPMI-SVD
+    # token table + trainable projection/encoder (the reference's frozen
+    # BERT-embeddings analogue, `item_tower.py:148-166`) — requires a
+    # pretrain-text artifact (pipeline stage `pretrain-text`)
+    text_encoder: str = "hash"     # hash | pretrained
+    pretrained_dim: int = 128      # width of the pretrained artifact
 
 
 @dataclass(frozen=True)
@@ -261,6 +268,9 @@ class ServeConfig:
     # (leader/follower, serve/batcher.py); 0 disables
     batch_window_ms: float = 2.0
     max_dynamic_batch: int = 1024
+    # cosine-score bonus for candidates whose enriched micro-season matches
+    # the request/session season (recommend_for_user season re-rank)
+    season_bonus: float = 0.05
 
 
 @dataclass(frozen=True)
@@ -285,6 +295,13 @@ class DataConfig:
     user_clusters: int = 3
     user_pool_prob: float = 0.6
     pop_zipf: float = 0.6          # global popularity skew exponent
+    # seasonal drift: items whose catalog season matches the current
+    # quarter draw season_boost x likelier (reference Season enum
+    # `database.py:47-50` + the prompter's micro-season block). 1.0
+    # disables seasonality and reproduces the pre-season generator
+    # stream bit-exactly.
+    season_boost: float = 3.0
+    season_cycle_days: int = 364
 
 
 @dataclass(frozen=True)

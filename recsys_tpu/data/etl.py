@@ -112,6 +112,32 @@ def logq_from_item_features(item_feats: pd.DataFrame, item_order: list[str],
     return np.concatenate([[pad_value], logq]).astype(np.float32)
 
 
+def seasonal_logq(train_tx: pd.DataFrame, item_order: list[str], season: str,
+                  pad_value: float = -20.0) -> np.ndarray | None:
+    """Season-conditioned popularity prior: (N+1,) log-prob computed only
+    from transactions whose session season matches ``season`` (tx carry the
+    reference's ``UserSession.season`` field). The serving blend swaps this
+    in for the global logq when the request season is known — seasonal
+    items stop being diluted by off-season mass. None when the log has no
+    season column (e.g. the H&M CSV import path)."""
+    if "season" in train_tx.columns:
+        sel = train_tx[train_tx["season"] == season]
+    elif "day" in train_tx.columns:
+        from recsys_tpu.data.synthetic import SEASONS, season_of_day
+        sel = train_tx[np.asarray(SEASONS)[
+            season_of_day(train_tx["day"].to_numpy())] == season]
+    else:
+        return None
+    if len(sel) == 0:
+        return None
+    counts = sel.groupby("item_id").size()
+    total = float(counts.sum())
+    q = np.array([counts.get(i, 0.0) / total for i in item_order], np.float32)
+    logq = np.log(np.clip(q, 1e-12, None))
+    logq[q <= 0] = pad_value
+    return np.concatenate([[pad_value], logq]).astype(np.float32)
+
+
 # -- user features ---------------------------------------------------------
 
 _AGE_TO_BUCKET = {"18-24": 0, "25-34": 1, "35-49": 2, "50+": 3}

@@ -8,7 +8,10 @@ Here that generator is code: 16 personas (4 age bands x 2 genders x 2
 styles) with the prompt's statistical purchase-distribution guide (30%
 single-item / 30% two-item / 40% multi-item sessions), Zipf-skewed item
 popularity (so LogQ correction has something real to correct), and seasonal
-category drift.
+drift: every item carries a catalog season, the year cycles through the
+reference's 3-value Season enum in quarters, and in-season items draw
+``season_boost`` x likelier (per-season cumulative-weight tables keep every
+basket draw O(log n)). Transactions record the session's season.
 
 The fake LLM (`enrich_item`) implements the RE-feature contract of the
 reference prompts (`gemini_flash_compatible_with_Gemma-prompter.txt`: JSON
@@ -47,6 +50,54 @@ _FULL = ["dress", "jumpsuit"]
 _MATERIALS = ["cotton", "linen", "wool", "polyester", "viscose", "denim", "leather", "silk", "jersey"]
 _DETAILS = ["ribbed", "pleated", "button_front", "zip", "pocket", "hooded", "collar", "ruffle", "seam"]
 _CONTEXTS = ["office", "weekend", "party", "sport", "beach", "lounge", "daily"]
+
+# -- seasons (reference `database.py:47-50` Season enum + the prompter's
+# temperature-aware micro-season block, `gemini_flash_compatible_with_
+# Gemma-prompter.txt:18-24`) -------------------------------------------------
+SEASONS = ["Summer", "Spring/Autumn", "Winter"]
+# catalog-season prior per material (an item's season is a *catalog
+# attribute*, `input.season` in the prompter): warm materials skew Winter,
+# light ones Summer
+_MATERIAL_SEASON_P = {
+    "linen":     (0.70, 0.25, 0.05),
+    "cotton":    (0.45, 0.40, 0.15),
+    "jersey":    (0.40, 0.40, 0.20),
+    "viscose":   (0.40, 0.40, 0.20),
+    "silk":      (0.25, 0.55, 0.20),
+    "denim":     (0.25, 0.50, 0.25),
+    "polyester": (0.30, 0.40, 0.30),
+    "wool":      (0.03, 0.35, 0.62),
+    "leather":   (0.05, 0.40, 0.55),
+}
+
+
+def season_of_day(day, cycle_days: int = 364):
+    """Broad season index (0=Summer, 1=Spring/Autumn, 2=Winter) for a day.
+    The year cycles Summer -> Autumn -> Winter -> Spring in equal quarters,
+    so Spring/Autumn (index 1) covers two of the four quarters — matching
+    the reference's 3-value Season enum."""
+    q = (np.asarray(day) % cycle_days) // (cycle_days // 4)
+    return np.where(q == 0, 0, np.where(q == 2, 2, 1))
+
+
+def micro_season(season: str, material: str) -> str:
+    """The prompter's temperature-aware micro-season logic
+    (`gemini_flash_compatible_with_Gemma-prompter.txt:18-24`), with our
+    material list standing in for material.thickness/type:
+
+      Summer:        linen -> high_summer | cotton -> early_summer | summer
+      Spring/Autumn: silk -> warm_spring_autumn | wool -> chilly_spring_autumn
+                     | spring_autumn
+      Winter:        leather/wool (the padding/fur analogues) -> deep_winter
+                     | winter
+    """
+    if season == "Summer":
+        return {"linen": "high_summer", "cotton": "early_summer"}.get(
+            material, "summer")
+    if season == "Winter":
+        return "deep_winter" if material in ("leather", "wool") else "winter"
+    return {"silk": "warm_spring_autumn",
+            "wool": "chilly_spring_autumn"}.get(material, "spring_autumn")
 
 
 def _persona_id(age: str, gender: str, style: str) -> str:
@@ -144,6 +195,7 @@ def generate_items(cfg: DataConfig, rng: np.random.Generator) -> pd.DataFrame:
         pcv = DEFAULT_STD_VOCAB["perceived_colour_value_name"][rng.integers(7)]
         material = _MATERIALS[rng.integers(len(_MATERIALS))]
         detail = _DETAILS[rng.integers(len(_DETAILS))]
+        season = SEASONS[rng.choice(3, p=_MATERIAL_SEASON_P[material])]
         # garment measurements (cm) drive the fake-LLM geometry tiers
         total_len = float(rng.uniform(40, 130))
         chest_w = float(rng.uniform(35, 70))
@@ -161,6 +213,7 @@ def generate_items(cfg: DataConfig, rng: np.random.Generator) -> pd.DataFrame:
             "perceived_colour_value_name": pcv,
             "material": material,
             "detail": detail,
+            "season": season,
             "gender": gender,
             "style": style,
             "price": round(float(rng.lognormal(3.0, 0.5)), 2),
@@ -230,6 +283,11 @@ def enrich_item(item: dict) -> dict:
     ctx = "sport" if "sport" in item["section_name"] else (
         "party" if item["graphical_appearance_name"] in ("glitter", "metallic", "neon")
         else "daily")
+    # temperature-aware micro-season (prompter logic block `:18-24`):
+    # refine the catalog's broad season with the material — rides in CTX
+    # (the reference's richer schema has a dedicated `season` key; our
+    # 9-field closed schema folds it into the context field)
+    ms = micro_season(item.get("season", "Spring/Autumn"), item["material"])
     re_features = {
         "CAT": [ptype, synthesized],
         "MAT": [item["material"]],
@@ -238,7 +296,7 @@ def enrich_item(item: dict) -> dict:
         "FNC": ["warm" if item["material"] in ("wool", "leather") else "breathable"],
         "SPC": [item["style"]],
         "COL": [item["colour_group_name"], item["perceived_colour_value_name"]],
-        "CTX": [ctx],
+        "CTX": [ctx, ms],
         "LOC": [loc],
     }
     assert set(re_features) == set(RE_FEATURE_KEYS)
@@ -291,6 +349,19 @@ def generate_transactions(cfg: DataConfig, items: pd.DataFrame, users: pd.DataFr
     price = items["price"].to_numpy()
     item_ids = items["item_id"].to_numpy()
 
+    # seasonal drift: per-season item weight multipliers (3 broad seasons;
+    # season_boost=1 or no season column -> single shared weight path that
+    # reproduces the pre-season random stream bit-exactly)
+    seasonal = cfg.season_boost != 1.0 and "season" in items.columns
+    if seasonal:
+        sea_idx = {s: i for i, s in enumerate(SEASONS)}
+        item_season = items["season"].map(sea_idx).to_numpy()
+        season_w = [np.where(item_season == s, cfg.season_boost, 1.0)
+                    for s in range(3)]
+    else:
+        season_w = [np.ones(n_items)]
+    n_sea = len(season_w)
+
     pool_size = max(int(n_items * cfg.persona_pool_frac), 1)
     personas = sorted(users["persona"].unique())
     pools = {p: rng.choice(n_items, pool_size, replace=False)
@@ -307,8 +378,9 @@ def generate_transactions(cfg: DataConfig, items: pd.DataFrame, users: pd.DataFr
     cluster_pop = np.bincount(cluster, weights=base_pop, minlength=n_clusters) + 1e-9
     subs = _subscribe_users(users, cell_of_cluster, cluster_pop, n_clusters,
                             cfg.user_clusters, rng)
-    # per-cluster release-sorted member lists + popularity cums, so an
-    # availability-filtered within-cluster draw is one searchsorted
+    # per-cluster release-sorted member lists + popularity cums (one per
+    # season), so an availability-filtered within-cluster draw is one
+    # searchsorted
     cl_members, cl_rel, cl_cum = [], [], []
     for c in range(n_clusters):
         mem = np.flatnonzero(cluster == c)
@@ -316,7 +388,8 @@ def generate_transactions(cfg: DataConfig, items: pd.DataFrame, users: pd.DataFr
         mem = mem[o]
         cl_members.append(mem)
         cl_rel.append(release[mem])
-        cl_cum.append(np.cumsum(base_pop[mem], dtype=np.float64))
+        cl_cum.append([np.cumsum((base_pop * w)[mem], dtype=np.float64)
+                       for w in season_w])
 
     # Availability as a PREFIX of the release-day-sorted catalog: a session
     # at day d may draw from the first n_d items of the sorted order, so one
@@ -342,7 +415,8 @@ def generate_transactions(cfg: DataConfig, items: pd.DataFrame, users: pd.DataFr
         in_pool = np.zeros(n_items, bool)
         in_pool[pools[persona]] = True
         affinity = affinity * np.where(in_pool, cfg.persona_pool_boost, 1.0)
-        cum = np.cumsum((base_pop * affinity)[order], dtype=np.float64)
+        cum_s = [np.cumsum((base_pop * affinity * w)[order], dtype=np.float64)
+                 for w in season_w]
 
         G = len(grp)
         n_sess = rng.poisson(8, G).astype(np.int64) + 1
@@ -357,13 +431,24 @@ def generate_transactions(cfg: DataConfig, items: pd.DataFrame, users: pd.DataFr
                                    rng.integers(3, 7, total_sessions)))
         draw_sess = np.repeat(np.arange(total_sessions), basket)
         d_day = days[draw_sess]
+        d_sea = (season_of_day(d_day, cfg.season_cycle_days) if seasonal
+                 else np.zeros(len(d_day), np.int64))
         n_d = np.searchsorted(rel_sorted, d_day, side="right")
-        cap = np.where(n_d > 0, cum[np.maximum(n_d - 1, 0)], 0.0)
+        cap = np.empty(len(d_day))
+        for s in range(n_sea):
+            m = d_sea == s
+            cap[m] = np.where(n_d[m] > 0, cum_s[s][np.maximum(n_d[m] - 1, 0)], 0.0)
         valid = cap > 0                          # nothing released yet -> skip
-        j = np.searchsorted(cum, rng.random(valid.sum()) * cap[valid])
-        chosen = order[np.minimum(j, np.maximum(n_d[valid] - 1, 0))]
+        u_draw = rng.random(valid.sum()) * cap[valid]
+        v_sea, v_nd = d_sea[valid], n_d[valid]
+        chosen = np.zeros(len(u_draw), np.int64)
+        for s in range(n_sea):
+            m = v_sea == s
+            j = np.searchsorted(cum_s[s], u_draw[m])
+            chosen[m] = order[np.minimum(j, np.maximum(v_nd[m] - 1, 0))]
         d_user = sess_user[draw_sess][valid]
         d_day = d_day[valid]
+        d_sea = d_sea[valid]
 
         # with user_pool_prob a slot re-draws from the user's subscribed
         # micro-style clusters (availability-filtered, popularity-weighted);
@@ -374,17 +459,21 @@ def generate_transactions(cfg: DataConfig, items: pd.DataFrame, users: pd.DataFr
         if sel.size:
             cpick = subs[uid_glob[d_user[sel]],
                          rng.integers(0, subs.shape[1], sel.size)]
-            dsel = d_day[sel]
+            dsel, ssel = d_day[sel], d_sea[sel]
             for c in np.unique(cpick):
                 w = np.flatnonzero(cpick == c)
                 nd = np.searchsorted(cl_rel[c], dsel[w], side="right")
-                cap = np.where(nd > 0, cl_cum[c][np.maximum(nd - 1, 0)], 0.0)
-                ok = cap > 0
-                if not ok.any():
-                    continue
-                jj = np.searchsorted(cl_cum[c], rng.random(int(ok.sum())) * cap[ok])
-                chosen[sel[w[ok]]] = cl_members[c][
-                    np.minimum(jj, np.maximum(nd[ok] - 1, 0))]
+                for s in range(n_sea):
+                    ws = w[ssel[w] == s] if n_sea > 1 else w
+                    nds = nd[ssel[w] == s] if n_sea > 1 else nd
+                    ccum = cl_cum[c][s]
+                    cap = np.where(nds > 0, ccum[np.maximum(nds - 1, 0)], 0.0)
+                    ok = cap > 0
+                    if not ok.any():
+                        continue
+                    jj = np.searchsorted(ccum, rng.random(int(ok.sum())) * cap[ok])
+                    chosen[sel[ws[ok]]] = cl_members[c][
+                        np.minimum(jj, np.maximum(nds[ok] - 1, 0))]
 
         # repurchase: with repeat_prob a slot re-draws uniformly from the
         # user's OWN earlier purchases (draws are day-ordered per user).
@@ -409,6 +498,9 @@ def generate_transactions(cfg: DataConfig, items: pd.DataFrame, users: pd.DataFr
             "day": d_day.astype(int),
             "price": price[final].astype(float),
             "channel": (rng.random(K) < 0.7).astype(int) + 1,  # 1=store, 2=online
+            # session season (reference UserSession.season, `database.py:185`)
+            "season": np.asarray(SEASONS)[
+                season_of_day(d_day, cfg.season_cycle_days)],
         }))
     df = pd.concat(frames, ignore_index=True)
     return df.sort_values(["day", "user_id"], kind="stable").reset_index(drop=True)

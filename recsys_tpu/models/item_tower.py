@@ -32,7 +32,7 @@ from recsys_tpu.models.layers import (
     l2_normalize,
     masked_mean,
 )
-from recsys_tpu.models.text_encoder import HashTextEncoder
+from recsys_tpu.models.text_encoder import HashTextEncoder, PretrainedTextEncoder
 
 
 class HybridItemTower(nn.Module):
@@ -50,10 +50,17 @@ class HybridItemTower(nn.Module):
             "std_field_embedding", nn.initializers.normal(0.02),
             (self.num_std_fields, D))
         self.std_norm = nn.LayerNorm(dtype=dt)
-        self.text_encoder = HashTextEncoder(
-            vocab_size=self.vocab_cfg.text_vocab_size, dim=self.cfg.text_dim,
-            num_layers=self.cfg.text_layers, nhead=self.cfg.text_heads,
-            max_len=self.vocab_cfg.max_name_tokens, dtype=dt)
+        if self.cfg.text_encoder == "pretrained":
+            self.text_encoder = PretrainedTextEncoder(
+                vocab_size=self.vocab_cfg.text_vocab_size, dim=self.cfg.text_dim,
+                pretrained_dim=self.cfg.pretrained_dim,
+                num_layers=self.cfg.text_layers, nhead=self.cfg.text_heads,
+                max_len=self.vocab_cfg.max_name_tokens, dtype=dt)
+        else:
+            self.text_encoder = HashTextEncoder(
+                vocab_size=self.vocab_cfg.text_vocab_size, dim=self.cfg.text_dim,
+                num_layers=self.cfg.text_layers, nhead=self.cfg.text_heads,
+                max_len=self.vocab_cfg.max_name_tokens, dtype=dt)
         self.re_proj = nn.Dense(D, dtype=dt, name="re_projection")
         self.re_field_emb = self.param(
             "re_field_embedding", nn.initializers.normal(0.02),

@@ -52,6 +52,7 @@ def _paths(cfg: Config) -> dict:
         "user_ckpts": f"{root}/ckpt_user",
         "gnn_ckpts": f"{root}/ckpt_gnn",
         "item_matrix": f"{root}/item_matrix",
+        "text_pretrain": f"{root}/text_pretrain.npz",
         "gnn_prefix": f"{root}/gnn",
         "distilled": f"{root}/gnn_distilled_items",
         "eval": f"{root}/eval.json",
@@ -136,6 +137,25 @@ def cmd_etl(cfg: Config, args) -> dict:
     return {"split_day": split_day, "sanity": sanity, "missing": missing}
 
 
+def cmd_pretrain_text(cfg: Config, args) -> dict:
+    """Corpus-pretrain the frozen text-embedding artifact (PPMI-SVD over
+    the catalog's names + RE fields; data/text_pretrain.py). The analogue
+    of 'download frozen BERT' in the reference — minus the download."""
+    from recsys_tpu.data.dataset import tokenize_items
+    from recsys_tpu.data.text_pretrain import pretrain_embeddings, save_text_pretrain
+    from recsys_tpu.data.vocab import StdVocab
+    p = _paths(cfg)
+    items, _, _ = _load_world(cfg)
+    tensors = tokenize_items(items, StdVocab(), cfg.vocab)
+    emb = pretrain_embeddings(tensors, cfg.vocab.text_vocab_size,
+                              dim=cfg.item_tower.pretrained_dim,
+                              seed=cfg.data.seed)
+    save_text_pretrain(p["text_pretrain"], emb)
+    nz = int((np.abs(emb).sum(axis=1) > 0).sum())
+    return {"artifact": p["text_pretrain"], "shape": list(emb.shape),
+            "nonzero_rows": nz}
+
+
 def cmd_train_item(cfg: Config, args) -> dict:
     from recsys_tpu.data.dataset import tokenize_items
     from recsys_tpu.data.vocab import StdVocab
@@ -143,9 +163,15 @@ def cmd_train_item(cfg: Config, args) -> dict:
     p = _paths(cfg)
     items, _, _ = _load_world(cfg)
     tensors = tokenize_items(items, StdVocab(), cfg.vocab)
+    text_pretrain = None
+    if cfg.item_tower.text_encoder == "pretrained":
+        from recsys_tpu.data.text_pretrain import load_text_pretrain
+        text_pretrain = load_text_pretrain(p["text_pretrain"])
     state = train_simcse(cfg, tensors, _mesh(cfg), p["item_ckpts"],
-                         init_ckpt=getattr(args, "init_ckpt", None))
-    return {"steps": int(state.step), "ckpt_dir": p["item_ckpts"]}
+                         init_ckpt=getattr(args, "init_ckpt", None),
+                         text_pretrain=text_pretrain)
+    return {"steps": int(state.step), "ckpt_dir": p["item_ckpts"],
+            "text_encoder": cfg.item_tower.text_encoder}
 
 
 def cmd_vectorize(cfg: Config, args) -> dict:
@@ -339,6 +365,22 @@ def cmd_eval(cfg: Config, args) -> dict:
     metrics["blend"] = {"best": blend["best"],
                         "best_metrics": blend["best_metrics"],
                         "model_only": blend["table"].get("a0.0_b0.0")}
+    # season-aware blend ablation: swap the GLOBAL popularity prior for the
+    # eval-window season's prior (etl.seasonal_logq) — the season-ablation
+    # row (with/without) the serving path rides on
+    from recsys_tpu.data.etl import seasonal_logq, time_split
+    from recsys_tpu.data.synthetic import SEASONS, season_of_day
+    train_tx, _, split_day = time_split(tx, cfg.data.valid_days)
+    eval_season = str(np.asarray(SEASONS)[season_of_day(
+        split_day, cfg.data.season_cycle_days)])
+    slq = seasonal_logq(train_tx, data["item_map"].ids, eval_season)
+    if slq is not None:
+        sblend = blend_sweep(uvecs, np.asarray(params["item"]["item_matrix"]),
+                             slq, hist, uids, data["targets_idx"],
+                             ks=cfg.user_train.eval_ks)
+        metrics["blend_seasonal"] = {
+            "season": eval_season, "best": sblend["best"],
+            "best_metrics": sblend["best_metrics"]}
     with open(p["eval"], "w") as f:
         json.dump(metrics, f, indent=1)
     return metrics
@@ -531,6 +573,7 @@ COMMANDS = {
     "ingest-hm": cmd_ingest_hm,
     "enrich": cmd_enrich,
     "etl": cmd_etl,
+    "pretrain-text": cmd_pretrain_text,
     "train-item": cmd_train_item,
     "vectorize": cmd_vectorize,
     "train-user": cmd_train_user,

@@ -313,15 +313,27 @@ class AppContext:
         return {"count": len(profiles)}
 
     def recommend_for_user(self, user_id: str, top_k: int | None = None,
-                           exclude_seen: bool = True) -> dict:
+                           exclude_seen: bool = True,
+                           season: str | None = None) -> dict:
+        """Top-k for a user vector, optionally season-aware.
+
+        ``season``: "Summer" | "Spring/Autumn" | "Winter" re-ranks the
+        over-provisioned candidate pool with a +serve.season_bonus on items
+        whose enriched micro-season matches; "auto" reads the user's latest
+        session season (the reference stores ``UserSession.season``,
+        `database.py:185`, but never consumes it — this is the live
+        consumer)."""
         vec = self.store.get_user_vector(user_id)
         if vec is None:
             return {"error": f"no vector for user {user_id}", "results": []}
+        if season == "auto":
+            season = self.store.latest_session_season(user_id)
         seen = set()
         if exclude_seen:
             hist = self.store.user_histories([user_id]).get(user_id, [])
             seen = {str(e["product_id"]) for e in hist}
-        k = (top_k or self.cfg.serve.similarity_top_k) + len(seen)
+        want = top_k or self.cfg.serve.similarity_top_k
+        k = want + len(seen) + (want if season else 0)  # season re-rank margin
         ids, scores = self.index.topk(vec[None], k)
         results = []
         for i, s in zip(ids[0].tolist(), scores[0].tolist()):
@@ -329,8 +341,18 @@ class AppContext:
             if pid is None or pid in seen:
                 continue
             results.append({"product_id": pid, "score": round(float(s), 6)})
-        return {"user_id": user_id,
-                "results": results[: top_k or self.cfg.serve.similarity_top_k]}
+        if season:
+            item_sea = self.store.item_seasons([r["product_id"] for r in results])
+            bonus = self.cfg.serve.season_bonus
+            for r in results:
+                if item_sea.get(r["product_id"]) == season:
+                    r["score"] = round(r["score"] + bonus, 6)
+                    r["in_season"] = True
+            results.sort(key=lambda r: -r["score"])
+        out = {"user_id": user_id, "results": results[:want]}
+        if season:
+            out["season"] = season
+        return out
 
     def similar_items(self, item_id: str, top_k: int | None = None) -> dict:
         vec = self.store.get_vector(item_id)

@@ -101,7 +101,8 @@ def _routes(ctx: AppContext):
     def recommendations(body, params):
         return ctx.recommend_for_user(
             params["user_id"], int(params.get("top_k", 0)) or None,
-            exclude_seen=params.get("exclude_seen", "1") not in ("0", "false"))
+            exclude_seen=params.get("exclude_seen", "1") not in ("0", "false"),
+            season=params.get("season") or None)
 
     return [
         ("GET", re.compile(r"^/$"), health),

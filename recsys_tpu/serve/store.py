@@ -320,5 +320,48 @@ class ServeStore:
             "SELECT COUNT(*) c FROM user_profiles WHERE is_vectorized=0"
         ).fetchone()["c"]
 
+    def latest_session_season(self, uid: str) -> str | None:
+        """Season of the user's most recent session (reference
+        ``UserSession.season``, `database.py:185` — stored but never
+        consumed there; here it feeds the season-aware recommendation
+        re-rank, serve/app.py)."""
+        row = self._conn.execute(
+            "SELECT season FROM user_sessions WHERE user_id=? "
+            "ORDER BY started_at DESC, session_id DESC LIMIT 1",
+            (str(uid),)).fetchone()
+        return row["season"] if row else None
+
+    def item_seasons(self, ids: list[str], table: str = "inference") -> dict[str, str]:
+        """Broad season per product, parsed from the enriched feature JSON's
+        CTX micro-season token (data/synthetic.micro_season vocabulary).
+        Missing/unenriched products are absent from the result."""
+        micro2broad = {
+            "high_summer": "Summer", "early_summer": "Summer",
+            "summer": "Summer", "warm_spring_autumn": "Spring/Autumn",
+            "chilly_spring_autumn": "Spring/Autumn",
+            "spring_autumn": "Spring/Autumn",
+            "deep_winter": "Winter", "winter": "Winter",
+        }
+        out: dict[str, str] = {}
+        if not ids:
+            return out
+        q = ",".join("?" * len(ids))
+        rows = self._conn.execute(
+            f"SELECT product_id, feature_data FROM product_{table}_input "
+            f"WHERE product_id IN ({q})", [str(i) for i in ids]).fetchall()
+        for r in rows:
+            try:
+                feat = json.loads(r["feature_data"])
+            except (TypeError, ValueError):
+                continue
+            re_feat = feat.get("reinforced_feature") or feat.get(
+                "reinforced_feature_value") or {}
+            for tokv in re_feat.get("CTX") or []:
+                season = micro2broad.get(str(tokv))
+                if season:
+                    out[r["product_id"]] = season
+                    break
+        return out
+
     def close(self):
         self._conn.close()

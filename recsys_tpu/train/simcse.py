@@ -57,11 +57,20 @@ def make_optimizer(cfg: Config, params, total_steps: int):
     main = warmup_linear_schedule(sc.lr, total_steps, sc.warmup_frac)
     text = warmup_linear_schedule(sc.text_encoder_lr, total_steps, sc.warmup_frac)
     groups = {
+        # the corpus-pretrained token table never moves: stop_gradient in
+        # the forward zeroes its grads; set_to_zero here blocks the adamw
+        # weight decay that would otherwise still shrink it
+        "frozen": optax.set_to_zero(),
         "text": optax.adamw(text, weight_decay=sc.weight_decay),
         "rest": optax.adamw(main, weight_decay=sc.weight_decay),
     }
-    return grouped_adamw(groups, params,
-                         lambda p: "text" if "text_encoder" in p else "rest")
+
+    def label(p: str) -> str:
+        if "pretrained_embedding" in p:
+            return "frozen"
+        return "text" if "text_encoder" in p else "rest"
+
+    return grouped_adamw(groups, params, label)
 
 
 def make_train_step(model: SimCSEModel, cfg: Config):
@@ -93,8 +102,14 @@ def make_train_step(model: SimCSEModel, cfg: Config):
 
 def train_simcse(cfg: Config, tensors: dict, mesh, workdir: str,
                  writer: MetricWriter | None = None,
-                 init_ckpt: str | None = None) -> TrainState:
-    """Full stage-1 training over pre-tokenized item tensors."""
+                 init_ckpt: str | None = None,
+                 text_pretrain: np.ndarray | None = None) -> TrainState:
+    """Full stage-1 training over pre-tokenized item tensors.
+
+    ``text_pretrain``: optional (V, dp) corpus-pretrained token matrix
+    (data/text_pretrain.py artifact) loaded into the frozen
+    ``pretrained_embedding`` param after init — the same overwrite pattern
+    as the stage-2 pretrained item matrix."""
     sc = cfg.simcse
     n = tensors["std"].shape[0]
     steps_per_epoch = max(n // sc.batch_size, 1)
@@ -107,6 +122,16 @@ def train_simcse(cfg: Config, tensors: dict, mesh, workdir: str,
     model = build_model(cfg, StdVocab().size, tensors["std"].shape[1])
     key = jax.random.PRNGKey(cfg.data.seed)
     params = init_params(model, tensors, key)
+    if text_pretrain is not None:
+        te = dict(params["encoder"]["text_encoder"])
+        if "pretrained_embedding" not in te:
+            raise ValueError("text_pretrain given but item_tower.text_encoder "
+                             "is not 'pretrained'")
+        if tuple(te["pretrained_embedding"].shape) != tuple(text_pretrain.shape):
+            raise ValueError(f"pretrain artifact {text_pretrain.shape} != "
+                             f"param {te['pretrained_embedding'].shape}")
+        te["pretrained_embedding"] = jnp.asarray(text_pretrain, jnp.float32)
+        params = {**params, "encoder": {**params["encoder"], "text_encoder": te}}
     store = CheckpointStore(workdir, maximize=False)
     if init_ckpt:
         params = store.restore(init_ckpt, params)

@@ -2,6 +2,8 @@
 SASRec tensorization. The reference's inline guardrails (SURVEY.md §4.1)
 are encoded here as real assertions."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -241,3 +243,66 @@ def test_latent_clusters_and_oracle(world):
     fo = cluster_oracle_recall(fi, ftx, int(ftx["day"].max()) - 7 + 1, k=20)
     assert (o["oracle_recall"] - o["popularity_recall"]) > \
         (fo["oracle_recall"] - fo["popularity_recall"]) + 0.01
+
+
+def test_micro_season_rules():
+    """The prompter's temperature-aware micro-season block
+    (`gemini_flash_compatible_with_Gemma-prompter.txt:18-24`)."""
+    from recsys_tpu.data.synthetic import micro_season
+
+    assert micro_season("Summer", "linen") == "high_summer"
+    assert micro_season("Summer", "cotton") == "early_summer"
+    assert micro_season("Summer", "denim") == "summer"
+    assert micro_season("Spring/Autumn", "silk") == "warm_spring_autumn"
+    assert micro_season("Spring/Autumn", "wool") == "chilly_spring_autumn"
+    assert micro_season("Spring/Autumn", "jersey") == "spring_autumn"
+    assert micro_season("Winter", "leather") == "deep_winter"
+    assert micro_season("Winter", "wool") == "deep_winter"
+    assert micro_season("Winter", "cotton") == "winter"
+
+
+def test_seasonal_drift_and_session_season():
+    """Season-matched items draw season_boost x likelier; transactions carry
+    the session season; boost=1.0 restores the flat distribution."""
+    from recsys_tpu.data.synthetic import SEASONS, generate_dataset, season_of_day
+
+    cfg = DataConfig(num_items=300, num_users=120, days=364, seed=5)
+    items, _, tx = generate_dataset(cfg)
+    assert set(items["season"]) <= set(SEASONS)
+    assert set(tx["season"]) <= set(SEASONS)
+    # the CTX field of every enriched item carries a micro-season token
+    assert any(t.endswith(("summer", "winter", "autumn"))
+               for t in items.iloc[0]["reinforced_feature"]["CTX"])
+    im = items.set_index("item_id")["season"]
+    match = (tx["season"] == tx["item_id"].map(im)).mean()
+    base_share = items["season"].map(
+        {"Summer": .25, "Spring/Autumn": .5, "Winter": .25}).mean()
+    assert match > base_share + 0.10
+    flat = dataclasses.replace(cfg, season_boost=1.0)
+    items2, _, tx2 = generate_dataset(flat)
+    match2 = (tx2["season"] == tx2["item_id"].map(
+        items2.set_index("item_id")["season"])).mean()
+    assert abs(match2 - base_share) < 0.06
+    # day->season mapping covers the quarter cycle
+    np.testing.assert_array_equal(season_of_day(np.array([0, 100, 200, 300])),
+                                  [0, 1, 2, 1])
+
+
+def test_seasonal_logq():
+    from recsys_tpu.data.etl import seasonal_logq
+    from recsys_tpu.data.synthetic import generate_dataset
+
+    cfg = DataConfig(num_items=200, num_users=80, days=364, seed=7)
+    items, _, tx = generate_dataset(cfg)
+    order = sorted(items["item_id"])
+    slq = seasonal_logq(tx, order, "Winter")
+    assert slq is not None and slq.shape == (201,)
+    # items never bought in winter sit at the pad floor
+    winter_counts = tx[tx["season"] == "Winter"].groupby("item_id").size()
+    for i, iid in enumerate(order[:50]):
+        if winter_counts.get(iid, 0) == 0:
+            assert slq[i + 1] == -20.0
+        else:
+            assert slq[i + 1] > -20.0
+    # no season info at all -> None
+    assert seasonal_logq(tx.drop(columns=["season", "day"]), order, "Winter") is None

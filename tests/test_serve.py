@@ -366,3 +366,38 @@ def test_app_context_wraps_vectorizer_with_batcher():
     ctx.store.ingest_products(_products(5))
     out = ctx.process_pending()
     assert out["processed_count"] == 5
+
+
+def test_season_aware_recommendations():
+    """recommend_for_user(season=...): matching items get the bonus and
+    re-rank; season='auto' reads the latest session's season (the field the
+    reference stores but never consumes, `database.py:185`)."""
+    ctx = build_app_context(CFG)
+    prods = []
+    for i in range(12):
+        micro = "deep_winter" if i % 2 else "high_summer"
+        prods.append({"product_id": f"s{i}", "product_name": f"wool coat {i}",
+                      "feature_data": {"reinforced_feature": {
+                          "CAT": ["coat"], "CTX": ["daily", micro]}}})
+    ctx.store.ingest_products(prods)
+    while ctx.process_pending()["processed_count"]:
+        pass
+    # seed a user vector + session via the debug route
+    r = ctx.store.insert_manual_data(
+        [{"user_id": "u1", "gender": "female"}],
+        [{"user_id": "u1", "season": "Winter",
+          "events": [{"product_id": "s1", "action_type": 5}]}])
+    assert r["ok"]
+    ctx.refresh_user_vectors()
+    base = ctx.recommend_for_user("u1", top_k=6)
+    assert base["results"]
+    rec = ctx.recommend_for_user("u1", top_k=6, season="Winter")
+    assert rec["season"] == "Winter"
+    winter = {f"s{i}" for i in range(12) if i % 2}
+    flagged = [r for r in rec["results"] if r.get("in_season")]
+    assert flagged and all(r["product_id"] in winter for r in flagged)
+    # auto: resolves the stored session season (Winter)
+    auto = ctx.recommend_for_user("u1", top_k=6, season="auto")
+    assert auto["season"] == "Winter"
+    assert ctx.store.latest_session_season("u1") == "Winter"
+    assert ctx.store.item_seasons(["s0", "s1"]) == {"s0": "Summer", "s1": "Winter"}
