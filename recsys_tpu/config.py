@@ -305,6 +305,9 @@ class DataConfig:
     # stream bit-exactly.
     season_boost: float = 3.0
     season_cycle_days: int = 364
+    # world-v4: append this many cluster-signature style words to each
+    # product name (real catalog names carry fit/style vocabulary; 0 = off)
+    name_style_words: int = 0
 
 
 @dataclass(frozen=True)

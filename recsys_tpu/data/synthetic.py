@@ -145,6 +145,37 @@ def _assign_item_clusters(items: pd.DataFrame, n_clusters: int,
     return cluster
 
 
+# fashion style vocabulary for product names (real catalogs' names carry
+# fit/style words — H&M: "Skinny Regular Denim", "Oversized Cotton Shirt");
+# each micro-style cluster signs its names with a couple of these
+_STYLE_WORDS = [
+    "skinny", "slim", "oversized", "relaxed", "boxy", "longline", "crop",
+    "ribbed_knit", "cable", "chunky", "sheer", "satin", "velvet", "utility",
+    "cargo", "biker", "bomber", "trench", "wrap", "peplum", "smocked",
+    "tiered", "ruched", "balloon", "puff", "bell", "raglan", "halter",
+    "bandeau", "crew", "turtleneck", "mock", "henley", "polo", "distressed",
+    "washed", "acid", "coated", "waffle", "terry", "fleece", "quilted",
+    "padded", "belted", "tailored", "flare", "bootcut", "paperbag",
+    "jogger", "chino", "scallop", "mesh", "lace", "broderie", "jacquard",
+    "ombre", "marl", "boucle", "crinkle", "plisse",
+]
+
+
+def _add_style_words(items: pd.DataFrame, rng: np.random.Generator,
+                     n_words: int) -> None:
+    """Append each cluster's signature style words to its items' names
+    (world-v4 knob ``DataConfig.name_style_words``). Makes product TEXT
+    carry latent-style signal the way real catalog names do — the regime
+    where a pretrained text encoder can out-lift a from-scratch one.
+    In-place on ``items``."""
+    cluster = items["latent_cluster"].to_numpy()
+    n_clusters = int(cluster.max()) + 1
+    sig = rng.integers(0, len(_STYLE_WORDS), size=(n_clusters, n_words))
+    suffix = [" ".join(_STYLE_WORDS[w] for w in sig[c]) for c in range(n_clusters)]
+    items["product_name"] = [
+        f"{name} {suffix[c]}" for name, c in zip(items["product_name"], cluster)]
+
+
 def _cluster_cells(items: pd.DataFrame, cluster: np.ndarray,
                    n_clusters: int) -> np.ndarray:
     """Majority (gender, style) cell per cluster (cells are 0..3 over the
@@ -514,10 +545,12 @@ def generate_dataset(cfg: DataConfig):
     it."""
     rng = np.random.default_rng(cfg.seed)
     items = generate_items(cfg, rng)
-    enriched = [enrich_item(r) for r in items.to_dict("records")]
-    items["reinforced_feature"] = [e["reinforced_feature_value"] for e in enriched]
     items["latent_cluster"] = _assign_item_clusters(
         items, cfg.n_item_clusters or max(cfg.num_items // 64, 8), rng)
+    if cfg.name_style_words > 0:
+        _add_style_words(items, rng, cfg.name_style_words)
+    enriched = [enrich_item(r) for r in items.to_dict("records")]
+    items["reinforced_feature"] = [e["reinforced_feature_value"] for e in enriched]
     users = generate_users(cfg, rng)
     tx = generate_transactions(cfg, items, users, rng)
     return items, users, tx

@@ -28,15 +28,15 @@ run() {  # run <name> <timeout_s> <cmd...>
 [ -f "$WD/targets_val.json" ] || \
   JAX_PLATFORMS=cpu python -m recsys_tpu.pipeline.cli etl $SETS \
     | tee "$OUT/etl.json" || exit 1
-[ -f "$OUT/item.json" ] || run item 7200 train-item --set simcse.epochs=3
+[ -s "$OUT/item.json" ] || run item 7200 train-item --set simcse.epochs=3
 [ -z "$FAILED" ] || { echo "HM-SHAPE-FAILED:$FAILED"; exit 1; }
-[ -f "$OUT/vectorize.json" ] || run vectorize 3600 vectorize
+[ -s "$OUT/vectorize.json" ] || run vectorize 3600 vectorize
 [ -z "$FAILED" ] || { echo "HM-SHAPE-FAILED:$FAILED"; exit 1; }
-[ -f "$OUT/user.json" ] || run user 14400 train-user --set user_train.ckpt_every=5
-[ -f "$OUT/gnn.json" ] || run gnn 10800 train-gnn --set gnn.epochs=2
-[ -f "$OUT/distill.json" ] || run distill 3600 distill
-[ -f "$OUT/hybrid.json" ] || run hybrid 10800 train-hybrid \
+[ -s "$OUT/user.json" ] || run user 14400 train-user --set user_train.ckpt_every=5
+[ -s "$OUT/gnn.json" ] || run gnn 10800 train-gnn --set gnn.epochs=2
+[ -s "$OUT/distill.json" ] || run distill 3600 distill
+[ -s "$OUT/hybrid.json" ] || run hybrid 10800 train-hybrid \
   --set user_train.epochs=4 --set user_train.ckpt_every=2
-[ -f "$OUT/eval.json" ] || run eval 7200 eval
+[ -s "$OUT/eval.json" ] || run eval 7200 eval
 if [ -n "$FAILED" ]; then echo "HM-SHAPE-PARTIAL failed:$FAILED"; exit 1; fi
 echo HM-SHAPE-DONE

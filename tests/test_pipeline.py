@@ -96,3 +96,43 @@ def test_orchestrate_once_against_server(workdir):
         assert out["vectorized"] == 10 and out["loops"] == 3  # ceil(10/4)
     finally:
         server.shutdown()
+
+
+def test_quality_regression_floors(tmp_path):
+    """CI-scale learned-beats-trivial floor (VERDICT r2 item 5): on a small
+    but structured world (latent clusters + seasonal drift, calibrated
+    repeat), the hybrid tower must beat the popularity baseline by a clear
+    margin and the pipeline's recall floors must hold. Pinned seed; floors
+    set ~30% below measured values to absorb optimizer noise."""
+    wd = str(tmp_path / "qreg")
+    base = ["--set", f"data.root={wd}",
+            "--set", "data.num_items=800", "--set", "data.num_users=500",
+            "--set", "data.days=180", "--set", "data.seed=21",
+            "--set", "data.repeat_prob=0.10",
+            "--set", "user_tower.max_len=16", "--set", "user_tower.num_layers=1",
+            "--set", "user_train.batch_size=64", "--set", "user_train.epochs=2",
+            "--set", "user_train.eval_ks=[20,100]",
+            "--set", "simcse.batch_size=64", "--set", "simcse.epochs=1",
+            "--set", "gnn.batch_size=512", "--set", "gnn.epochs=2",
+            "--set", "gnn.emb_dim=16", "--set", "gnn.svd_rank=4",
+            "--set", "vocab.max_field_tokens=8", "--set", "vocab.max_name_tokens=8",
+            "--set", "item_tower.head_hidden=[128]",
+            "--set", "item_tower.fusion_layers=1",
+            "--set", "item_tower.text_layers=1"]
+    for stage in ("gen-data", "etl", "train-item", "vectorize",
+                  "train-gnn", "distill"):
+        cli.main([stage] + base)
+    r = cli.main(["train-hybrid"] + base)
+    hybrid100 = r["hybrid_best"]["recall@100"]
+    ev = cli.main(["eval"] + base)
+    pop100 = ev["baselines"]["popularity"]["recall@100"]
+    # learned-over-trivial floors. Measured on this pinned world: hybrid
+    # 35.9% vs popularity 29.1% (ratio 1.23) — note k=100 covers 12.5% of
+    # an 800-item catalog, so popularity is structurally inflated at CI
+    # scale; the relative floor is set at 1.1 (~12% headroom) and the
+    # absolute floor at 0.30 (~16% headroom).
+    assert hybrid100 > pop100 * 1.1, (hybrid100, pop100)
+    assert hybrid100 > 0.30, hybrid100
+    # season-aware blend must at least not break the sweep contract
+    if "blend_seasonal" in ev:
+        assert ev["blend_seasonal"]["best_metrics"]["recall@100"] > 0
