@@ -549,27 +549,44 @@ def cmd_orchestrate(cfg: Config, args) -> dict:
         with urllib.request.urlopen(req, timeout=60) as resp:
             return json.loads(resp.read())
 
-    def hourly_cycle():
-        drained, loops = 0, 0
-        while loops < 100:  # loop cap, reference `product_pipeline_dag.py:81-83`
-            r = call("POST", "/ai-api/serving/vectors/process-pending", {})
-            if r.get("processed_count", 0) == 0:
-                break
-            drained += r["processed_count"]
-            loops += 1
-        return {"vectorized": drained, "loops": loops}
-
     if getattr(args, "once", False):
-        return hourly_cycle()
+        return _hourly_cycle(call)
 
     last_weekly = 0.0
     while True:  # pragma: no cover — long-running scheduler
-        out = hourly_cycle()
-        print(json.dumps({"hourly": out, "t": time.time()}))
-        if time.time() - last_weekly > 7 * 24 * 3600:
-            call("POST", "/ai-api/serving/train/start", {})
-            last_weekly = time.time()
+        _, last_weekly = orchestrate_cycles(call, 1, last_weekly=last_weekly,
+                                            log=True)
         time.sleep(3600)
+
+
+def _hourly_cycle(call) -> dict:
+    drained, loops = 0, 0
+    while loops < 100:  # loop cap, reference `product_pipeline_dag.py:81-83`
+        r = call("POST", "/ai-api/serving/vectors/process-pending", {})
+        if r.get("processed_count", 0) == 0:
+            break
+        drained += r["processed_count"]
+        loops += 1
+    return {"vectorized": drained, "loops": loops}
+
+
+def orchestrate_cycles(call, n_cycles: int, *, last_weekly: float = 0.0,
+                       weekly_interval: float = 7 * 24 * 3600.0,
+                       now_fn=time.time, log: bool = False):
+    """n hourly DAG cycles + the weekly train trigger when due — the
+    scheduler body factored so the WEEKLY branch is E2E-testable with an
+    injected clock (reference weekly retrain DAG; r1 only covered hourly).
+    Returns (records, last_weekly)."""
+    records = []
+    for _ in range(n_cycles):
+        rec = {"hourly": _hourly_cycle(call), "t": now_fn()}
+        if now_fn() - last_weekly > weekly_interval:
+            rec["weekly"] = call("POST", "/ai-api/serving/train/start", {})
+            last_weekly = now_fn()
+        if log:
+            print(json.dumps(rec))
+        records.append(rec)
+    return records, last_weekly
 
 
 COMMANDS = {

@@ -136,3 +136,52 @@ def test_quality_regression_floors(tmp_path):
     # season-aware blend must at least not break the sweep contract
     if "blend_seasonal" in ev:
         assert ev["blend_seasonal"]["best_metrics"]["recall@100"] > 0
+
+
+def test_orchestrate_weekly_branch_against_server(workdir):
+    """The WEEKLY train trigger, E2E with an injected clock: fires on the
+    first due cycle, not again within the interval, again once overdue —
+    against a live server whose /train/start actually starts a background
+    item-tower train (reference weekly retrain DAG)."""
+    from recsys_tpu.config import Config, ServeConfig
+    from recsys_tpu.pipeline.cli import orchestrate_cycles
+    from recsys_tpu.serve.app import build_app_context
+    from recsys_tpu.serve.server import make_server, serve_forever_in_thread
+    import json as _json
+    import urllib.request
+
+    cfg = Config(serve=ServeConfig(db_path=":memory:", batch_size=4))
+    ctx = build_app_context(cfg)
+    ctx.store.ingest_products([
+        {"product_id": f"w{i}", "product_name": f"p {i}",
+         "feature_data": {"reinforced_feature": {"CAT": ["shirt"]}}}
+        for i in range(4)])
+    server = make_server(ctx, host="127.0.0.1", port=0)
+    serve_forever_in_thread(server)
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+
+    def call(method, path, payload=None):
+        req = urllib.request.Request(
+            base + path, method=method,
+            data=None if payload is None else _json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return _json.loads(resp.read())
+
+    clock = {"t": 1_000_000.0}
+    try:
+        # cycle 1: weekly due (last_weekly=0). cycle 2: +1h, not due.
+        recs, lw = orchestrate_cycles(
+            call, 1, last_weekly=0.0, now_fn=lambda: clock["t"])
+        assert "weekly" in recs[0] and lw == clock["t"]
+        assert recs[0]["weekly"].get("started") or recs[0]["weekly"]
+        clock["t"] += 3600
+        recs, lw2 = orchestrate_cycles(
+            call, 1, last_weekly=lw, now_fn=lambda: clock["t"])
+        assert "weekly" not in recs[0] and lw2 == lw
+        clock["t"] += 8 * 24 * 3600
+        recs, lw3 = orchestrate_cycles(
+            call, 1, last_weekly=lw2, now_fn=lambda: clock["t"])
+        assert "weekly" in recs[0] and lw3 == clock["t"]
+    finally:
+        server.shutdown()
