@@ -130,7 +130,8 @@ def blend_sweep(user_vecs: np.ndarray, item_matrix: np.ndarray,
                 logq: np.ndarray, histories: np.ndarray, user_ids,
                 targets_idx: dict, ks=(20, 100, 500),
                 alphas=(0.0, 0.1, 0.2, 0.3, 0.5, 0.7, 0.9),
-                betas=(0.0, 0.3, 1.0), device: bool | None = None) -> dict:
+                betas=(0.0, 0.3, 1.0), device: bool | None = None,
+                per_user_k: int | None = None) -> dict:
     """Prior-blended retrieval: fuse the tower's cosine scores with the
     popularity prior and a seen-item (repurchase) bonus, sweeping weights.
 
@@ -159,7 +160,8 @@ def blend_sweep(user_vecs: np.ndarray, item_matrix: np.ndarray,
                   and user_vecs.shape[0] * item_matrix.shape[0] > 2e8)
     if device:
         return _blend_sweep_device(user_vecs, item_matrix, logq, histories,
-                                   user_ids, targets_idx, ks, alphas, betas)
+                                   user_ids, targets_idx, ks, alphas, betas,
+                                   per_user_k)
     # np.array (copy): asarray of a device buffer can hand back a
     # read-only view, breaking the in-place normalize
     items = np.array(item_matrix, np.float32)
@@ -194,11 +196,36 @@ def blend_sweep(user_vecs: np.ndarray, item_matrix: np.ndarray,
                                                   targets_idx, ks)
     key = f"recall@{sorted(ks)[min(1, len(ks) - 1)]}"
     best = max(table, key=lambda t: table[t][key])
-    return {"table": table, "best": best, "best_metrics": table[best]}
+    out = {"table": table, "best": best, "best_metrics": table[best]}
+    if per_user_k is not None:
+        name_of = {f"a{a}_b{b}": (a, b) for a, b in combos}
+        full_idx = {nm: np.concatenate(idx_parts[c]) if idx_parts[c]
+                    else np.zeros((0, max_k), np.int64)
+                    for nm, c in name_of.items()
+                    if nm == best or nm == "a0.0_b0.0"}
+        out["_per_user"] = _blend_per_user(full_idx, best, user_ids,
+                                           targets_idx, per_user_k)
+    return out
+
+
+def _blend_per_user(full_idx: dict, best: str, user_ids, targets_idx,
+                    per_user_k: int) -> dict:
+    from recsys_tpu.eval.recall import recall_per_user
+
+    pu: dict = {"k": per_user_k}
+    vals, kept = recall_per_user(full_idx[best], user_ids, targets_idx,
+                                 per_user_k)
+    pu["best"], pu["uids"] = vals, kept
+    if "a0.0_b0.0" in full_idx:
+        pu["model_only"], _ = recall_per_user(full_idx["a0.0_b0.0"],
+                                              user_ids, targets_idx,
+                                              per_user_k)
+    return pu
 
 
 def _blend_sweep_device(user_vecs, item_matrix, logq, histories, user_ids,
-                        targets_idx, ks, alphas, betas) -> dict:
+                        targets_idx, ks, alphas, betas,
+                        per_user_k: int | None = None) -> dict:
     """Device backend for ``blend_sweep`` — identical math: per user batch,
     one resident (B, N+1) cosine block, ``lax.scan`` over the (alpha, beta)
     grid doing mask+blend+exact top-k. Exact ``lax.top_k`` keeps reported
@@ -255,12 +282,21 @@ def _blend_sweep_device(user_vecs, item_matrix, logq, histories, user_ids,
                                                   targets_idx, ks)
     key = f"recall@{sorted(ks)[min(1, len(ks) - 1)]}"
     best = max(table, key=lambda t: table[t][key])
-    return {"table": table, "best": best, "best_metrics": table[best]}
+    out = {"table": table, "best": best, "best_metrics": table[best]}
+    if per_user_k is not None:
+        name_of = {f"a{a}_b{b}": m for m, (a, b) in enumerate(combos)}
+        full_idx = {nm: (np.concatenate([p[m] for p in parts]) if parts
+                         else np.zeros((0, max_k), np.int64))
+                    for nm, m in name_of.items()
+                    if nm == best or nm == "a0.0_b0.0"}
+        out["_per_user"] = _blend_per_user(full_idx, best, user_ids,
+                                           targets_idx, per_user_k)
+    return out
 
 
 def baseline_report(tensors: dict, logq: np.ndarray, targets_idx: dict,
-                    ks=(20, 100, 500), item_matrix: np.ndarray | None = None
-                    ) -> dict:
+                    ks=(20, 100, 500), item_matrix: np.ndarray | None = None,
+                    per_user_k: int | None = None) -> dict:
     """All training-free baselines evaluated with the tower-eval denominator
     semantics.
 
@@ -269,25 +305,35 @@ def baseline_report(tensors: dict, logq: np.ndarray, targets_idx: dict,
     final target item (the causal shift drops it from the inputs).
     ``item_matrix`` (the (N+1, D) stage-1 content matrix, PAD row 0) adds
     the content-profile baseline.
+
+    ``per_user_k``: when set, the report gains a ``"_per_user"`` block with
+    per-user recall@k arrays (one per baseline, aligned to ``"uids"``) for
+    bootstrap CIs / paired significance tests (`recall.paired_delta_ci`).
     """
+    from recsys_tpu.eval.recall import recall_per_user
+
     user_ids = list(tensors["user_ids"])
     max_k = max(ks)
     n = len(user_ids)
-    pop_idx = popularity_topk(logq, n, max_k)
     full = np.concatenate([tensors["input_ids"],
                            tensors["target_ids"][:, -1:]], axis=1)
     histories = [full[r] for r in range(n)]
-    rep_idx = repurchase_topk(histories, logq, max_k)
-    report = {
-        "popularity": recall_at_ks(pop_idx, user_ids, targets_idx, ks),
-        "repurchase": recall_at_ks(rep_idx, user_ids, targets_idx, ks),
+    idx = {
+        "popularity": popularity_topk(logq, n, max_k),
+        "repurchase": repurchase_topk(histories, logq, max_k),
     }
     if item_matrix is not None:
-        cp_idx = content_profile_topk(histories, item_matrix, max_k)
-        report["content_profile"] = recall_at_ks(cp_idx, user_ids,
-                                                 targets_idx, ks)
-        cpr_idx = content_profile_topk(histories, item_matrix, max_k,
-                                       half_life=10.0)
-        report["content_profile_recency"] = recall_at_ks(
-            cpr_idx, user_ids, targets_idx, ks)
+        idx["content_profile"] = content_profile_topk(histories, item_matrix,
+                                                      max_k)
+        idx["content_profile_recency"] = content_profile_topk(
+            histories, item_matrix, max_k, half_life=10.0)
+    report = {name: recall_at_ks(m, user_ids, targets_idx, ks)
+              for name, m in idx.items()}
+    if per_user_k is not None:
+        pu: dict = {"k": per_user_k}
+        for name, m in idx.items():
+            vals, kept = recall_per_user(m, user_ids, targets_idx, per_user_k)
+            pu[name] = vals
+            pu["uids"] = kept
+        report["_per_user"] = pu
     return report

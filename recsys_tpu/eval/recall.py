@@ -93,6 +93,69 @@ def recall_at_ks(topk_idx: np.ndarray, user_ids: list, targets_idx: dict,
     return {f"recall@{k}": sums[k] / n_eval for k in ks} | {"n_eval": n_eval}
 
 
+def recall_per_user(topk_idx: np.ndarray, user_ids, targets_idx: dict,
+                    k: int) -> tuple[np.ndarray, list]:
+    """Per-user recall@k over users WITH targets (same denominator semantics
+    as ``recall_at_ks``). Returns (values, kept_user_ids) — the raw material
+    for bootstrap confidence intervals and paired system comparisons."""
+    vals, kept = [], []
+    for r, uid in enumerate(user_ids):
+        tgt = targets_idx.get(uid)
+        if not tgt:
+            continue
+        vals.append(len(tgt.intersection(topk_idx[r, :k].tolist())) / len(tgt))
+        kept.append(uid)
+    return np.asarray(vals, np.float64), kept
+
+
+def bootstrap_mean_ci(values: np.ndarray, n_boot: int = 1000, seed: int = 0,
+                      level: float = 0.95) -> dict:
+    """Percentile bootstrap CI on the mean of per-user values. Chunked so a
+    200k-user eval doesn't allocate an (n_boot, n) resample matrix at once."""
+    values = np.asarray(values, np.float64)
+    n = len(values)
+    if n == 0:
+        return {"mean": 0.0, "lo": 0.0, "hi": 0.0, "n": 0}
+    rng = np.random.default_rng(seed)
+    means = np.empty(n_boot, np.float64)
+    chunk = max(1, min(n_boot, int(2e7) // max(n, 1)))
+    for s0 in range(0, n_boot, chunk):
+        b = min(chunk, n_boot - s0)
+        idx = rng.integers(0, n, (b, n))
+        means[s0:s0 + b] = values[idx].mean(1)
+    a = (1.0 - level) / 2.0
+    lo, hi = np.quantile(means, [a, 1.0 - a])
+    return {"mean": float(values.mean()), "lo": float(lo), "hi": float(hi),
+            "n": n}
+
+
+def paired_delta_ci(a: np.ndarray, b: np.ndarray, n_boot: int = 1000,
+                    seed: int = 0, level: float = 0.95) -> dict:
+    """Paired bootstrap on mean(a - b) over the SAME users — the honest test
+    for "system A beats system B": per-user differencing removes the shared
+    user-difficulty variance that independent CIs double-count.
+    ``p_improve`` = fraction of bootstrap resamples with a positive delta."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    if a.shape != b.shape:
+        raise ValueError(f"paired arrays differ: {a.shape} vs {b.shape}")
+    d = a - b
+    n = len(d)
+    if n == 0:
+        return {"delta": 0.0, "lo": 0.0, "hi": 0.0, "p_improve": 0.0, "n": 0}
+    rng = np.random.default_rng(seed)
+    means = np.empty(n_boot, np.float64)
+    chunk = max(1, min(n_boot, int(2e7) // max(n, 1)))
+    for s0 in range(0, n_boot, chunk):
+        bsz = min(chunk, n_boot - s0)
+        idx = rng.integers(0, n, (bsz, n))
+        means[s0:s0 + bsz] = d[idx].mean(1)
+    q = (1.0 - level) / 2.0
+    lo, hi = np.quantile(means, [q, 1.0 - q])
+    return {"delta": float(d.mean()), "lo": float(lo), "hi": float(hi),
+            "p_improve": float((means > 0).mean()), "n": n}
+
+
 def evaluate_retrieval(forward_fn, batches, item_matrix, targets_idx,
                        ks=(20, 100, 500), mesh=None) -> dict:
     """Generic retrieval eval: ``forward_fn(batch) -> (B, D) user vectors``;

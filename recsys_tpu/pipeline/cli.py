@@ -351,24 +351,56 @@ def cmd_eval(cfg: Config, args) -> dict:
     metrics = evaluate_stage2(cfg, params, uv_fn, data, _mesh(cfg), bs)
     from recsys_tpu.eval.baselines import baseline_report, blend_sweep
     from recsys_tpu.train.sasrec import collect_user_vectors
-    metrics["baselines"] = baseline_report(
-        data["tensors"], data["logq"], data["targets_idx"],
-        ks=cfg.user_train.eval_ks, item_matrix=pretrained)
-    from recsys_tpu.eval.recall import target_rows
+    from recsys_tpu.eval.recall import (bootstrap_mean_ci, paired_delta_ci,
+                                        target_rows)
     tens = data["tensors"]
-    # blend sweep over target users only (metric-identical; the full-user
-    # host score matrix is ~75 GB at 200k users x 47k items)
+    ks = sorted(cfg.user_train.eval_ks)
+    k_primary = ks[min(1, len(ks) - 1)]
+    # ALL downstream eval work runs over target users only (metric-identical:
+    # recall_at_ks drops target-less users from the denominator anyway). At
+    # the H&M shape this matters enormously — 1.37M total vs ~218k target
+    # users; the content-profile baseline alone over all users would be
+    # ~18 TFLOPs of host matmul on 2 vCPUs, and the full-user host score
+    # matrix is ~75 GB at 200k users x 47k items.
     rows = target_rows(tens["user_ids"], data["targets_idx"])
+    sub = {"user_ids": [tens["user_ids"][r] for r in rows],
+           "input_ids": tens["input_ids"][rows],
+           "target_ids": tens["target_ids"][rows]}
+    metrics["baselines"] = baseline_report(
+        sub, data["logq"], data["targets_idx"],
+        ks=cfg.user_train.eval_ks, item_matrix=pretrained,
+        per_user_k=k_primary)
+    base_pu = metrics["baselines"].pop("_per_user")
     uvecs, uids = collect_user_vectors(cfg, params, uv_fn, data, _mesh(cfg),
                                        bs, rows=rows)
     hist = np.concatenate([tens["input_ids"][rows],
                            tens["target_ids"][rows][:, -1:]], 1)
     blend = blend_sweep(uvecs, np.asarray(params["item"]["item_matrix"]),
                         data["logq"], hist, uids, data["targets_idx"],
-                        ks=cfg.user_train.eval_ks)
+                        ks=cfg.user_train.eval_ks, per_user_k=k_primary)
+    blend_pu = blend.pop("_per_user")
     metrics["blend"] = {"best": blend["best"],
                         "best_metrics": blend["best_metrics"],
                         "model_only": blend["table"].get("a0.0_b0.0")}
+    # paired bootstrap significance at the primary k: does the learned stack
+    # beat the no-ML floors per-user, not just on the headline mean?
+    # (VERDICT r1 weak #1: at 47k items the blend tied repurchase; a paired
+    # CI makes "learned beats trivial" an auditable claim, not a point diff.)
+    if base_pu["uids"] == blend_pu["uids"]:
+        rep, pop = base_pu["repurchase"], base_pu["popularity"]
+        sig = {"k": k_primary,
+               "model_only": bootstrap_mean_ci(blend_pu["model_only"]),
+               "blend_best": bootstrap_mean_ci(blend_pu["best"]),
+               "repurchase": bootstrap_mean_ci(rep),
+               "model_vs_repurchase": paired_delta_ci(
+                   blend_pu["model_only"], rep),
+               "model_vs_popularity": paired_delta_ci(
+                   blend_pu["model_only"], pop),
+               "blend_vs_repurchase": paired_delta_ci(blend_pu["best"], rep)}
+        if "content_profile" in base_pu:
+            sig["model_vs_content_profile"] = paired_delta_ci(
+                blend_pu["model_only"], base_pu["content_profile"])
+        metrics["significance"] = sig
     # season-aware blend ablation: swap the GLOBAL popularity prior for the
     # eval-window season's prior (etl.seasonal_logq) — the season-ablation
     # row (with/without) the serving path rides on

@@ -168,3 +168,73 @@ def test_blend_sweep_device_backend_matches_host():
     for combo, m in host["table"].items():
         for k, v in m.items():
             assert abs(dev["table"][combo][k] - v) < 1e-9, (combo, k)
+
+
+def test_per_user_recall_and_bootstrap():
+    from recsys_tpu.eval.recall import (bootstrap_mean_ci, paired_delta_ci,
+                                        recall_per_user)
+
+    topk = np.array([[1, 2], [3, 4], [5, 6]], np.int64)
+    targets = {"a": {1, 9}, "c": {5, 6}}  # "b" has no targets -> dropped
+    vals, kept = recall_per_user(topk, ["a", "b", "c"], targets, k=2)
+    assert kept == ["a", "c"]
+    assert vals.tolist() == [0.5, 1.0]
+
+    # CI brackets the mean; degenerate (constant) values give a zero-width CI
+    ci = bootstrap_mean_ci(np.full(50, 0.25), n_boot=200)
+    assert ci["mean"] == ci["lo"] == ci["hi"] == 0.25
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=500)
+    ci = bootstrap_mean_ci(x, n_boot=500)
+    assert ci["lo"] < ci["mean"] < ci["hi"]
+    assert ci["n"] == 500
+
+    # paired delta: a clearly better system gets p_improve ~ 1
+    a = x + 0.2
+    d = paired_delta_ci(a, x, n_boot=500)
+    assert abs(d["delta"] - 0.2) < 1e-9
+    assert d["p_improve"] == 1.0 and d["lo"] > 0
+    # identical systems: delta 0 exactly
+    d0 = paired_delta_ci(x, x, n_boot=100)
+    assert d0["delta"] == 0.0 and d0["lo"] == 0.0 and d0["hi"] == 0.0
+    # empty input doesn't crash
+    assert bootstrap_mean_ci(np.zeros(0))["n"] == 0
+    assert paired_delta_ci(np.zeros(0), np.zeros(0))["n"] == 0
+
+
+def test_per_user_blocks_align_across_report_and_blend():
+    """baseline_report and blend_sweep (host + device) must emit per-user
+    arrays over the same users in the same order, so cmd_eval's paired
+    significance tests are valid."""
+    from recsys_tpu.eval.baselines import baseline_report, blend_sweep
+    from recsys_tpu.eval.recall import recall_at_ks
+
+    rng = np.random.default_rng(7)
+    B, N, D, L = 23, 30, 8, 5
+    items = rng.normal(size=(N + 1, D)).astype(np.float32)
+    items[0] = 0
+    uvecs = rng.normal(size=(B, D)).astype(np.float32)
+    logq = rng.normal(-5, 1, N + 1).astype(np.float32)
+    logq[0] = -20.0
+    hist = rng.integers(0, N + 1, (B, L))
+    uids = [f"u{r}" for r in range(B)]
+    targets = {u: set(rng.integers(1, N + 1, 2).tolist())
+               for u in uids if rng.uniform() > 0.3}
+    tensors = {"user_ids": uids, "input_ids": hist[:, :-1],
+               "target_ids": hist[:, -1:]}
+    rep = baseline_report(tensors, logq, targets, ks=(5, 20),
+                          item_matrix=items, per_user_k=20)
+    pu = rep["_per_user"]
+    # per-user means must reproduce the aggregate recall exactly
+    assert abs(pu["repurchase"].mean() - rep["repurchase"]["recall@20"]) < 1e-12
+    assert len(pu["uids"]) == rep["repurchase"]["n_eval"]
+    for backend in (False, True):
+        bl = blend_sweep(uvecs, items, logq, hist, uids, targets,
+                         ks=(5, 20), alphas=(0.0, 0.5), betas=(0.0,),
+                         device=backend, per_user_k=20)
+        bpu = bl["_per_user"]
+        assert bpu["uids"] == pu["uids"]
+        assert abs(bpu["model_only"].mean()
+                   - bl["table"]["a0.0_b0.0"]["recall@20"]) < 1e-12
+        assert abs(bpu["best"].mean()
+                   - bl["best_metrics"]["recall@20"]) < 1e-12
