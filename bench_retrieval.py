@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from recsys_tpu.eval.recall import topk_scores
 from recsys_tpu.ops.ivf import build_ivf, ivf_search
+from recsys_tpu.ops.quant import int8_topk, quantize_items_int8
 
 B = 1024
 D = 128
@@ -61,13 +62,23 @@ def bench_catalog(n_items: int, k: int, nlist: int, nprobe: int, rng):
     build_s = time.perf_counter() - t_build0
     ivf_fn = jax.jit(lambda u: ivf_search(ivf, u, k, nprobe))
 
+    qi = quantize_items_int8(items)
+    qi = jax.tree.map(jnp.asarray, qi)
+    int8_fn = jax.jit(lambda u: int8_topk(u, qi, k))
+    int8_ax = jax.jit(lambda u: int8_topk(u, qi, k, method="approx",
+                                          recall_target=0.95))
+
     ms_exact = _chained(exact, q)
     ms_approx = _chained(approx, q)
     ms_ivf = _chained(ivf_fn, q)
+    ms_int8 = _chained(int8_fn, q)
+    ms_int8_ax = _chained(int8_ax, q)
 
     _, ie = exact(q)
     _, ia = approx(q)
     _, ii = ivf_fn(q)
+    _, iq = int8_fn(q)
+    _, iqa = int8_ax(q)
     return {
         "n_items": n_items, "k": k, "batch": B,
         "exact_ms": round(ms_exact, 3),
@@ -77,6 +88,10 @@ def bench_catalog(n_items: int, k: int, nlist: int, nprobe: int, rng):
         "ivf_recall": round(_recall_vs_exact(ii, ie), 4),
         "ivf_nlist": nlist, "ivf_nprobe": nprobe,
         "ivf_build_s": round(build_s, 2),
+        "int8_ms": round(ms_int8, 3),
+        "int8_recall": round(_recall_vs_exact(iq, ie), 4),
+        "int8_approx_ms": round(ms_int8_ax, 3),
+        "int8_approx_recall": round(_recall_vs_exact(iqa, ie), 4),
     }
 
 
