@@ -259,9 +259,11 @@ class ServeConfig:
     similarity_top_k: int = 50     # `APIController/controller.py:84-93`
     db_path: str = "artifacts/serve.db"
     # ANN backend: exact C++ scan (honest at <=100k items), native HNSW
-    # (reference pgvector config m=24/efc=200/efs=100), or TPU-resident IVF
-    # (clustered device search for 1M+ catalogs, ops/ivf.py)
-    ann_backend: str = "exact"     # exact | hnsw | ivf
+    # (reference pgvector config m=24/efc=200/efs=100), TPU-resident IVF
+    # (clustered device search for 1M+ catalogs, ops/ivf.py), or int8
+    # (device-resident quantized exact scan, ops/quant.py — half the HBM
+    # bytes of the fp32 scan at ~0.99 recall)
+    ann_backend: str = "exact"     # exact | hnsw | ivf | int8
     hnsw_m: int = 24
     hnsw_ef_construction: int = 200
     hnsw_ef_search: int = 100

@@ -297,30 +297,20 @@ class HnswIndex:
                 pass
 
 
-# -- IVF on TPU (approximate, device-resident) -------------------------------
+# -- Device-resident indexes (host row store + lazy rebuild) -----------------
 
-class IvfTpuIndex:
-    """TPU-resident IVF index behind the common ``add/topk/save/load``
-    interface (`ops/ivf.py` does the math).
+class _HostRowStoreIndex:
+    """Shared lifecycle for device-resident indexes: the device arrays are
+    immutable, so mutations land in a host-side row store and the index
+    lazily rebuilds on the first query after a change — the same "vectors
+    accumulate, index refreshes" lifecycle the reference drives through
+    pgvector's ``is_vectorized`` flags."""
 
-    The device arrays are immutable, so mutations land in a host-side row
-    store and the index lazily rebuilds (k-means + bucket packing) on the
-    first query after a change — the same "vectors accumulate, index
-    refreshes" lifecycle the reference drives through pgvector's
-    ``is_vectorized`` flags. Suited to 1M+ catalogs where the exact scan
-    stops being free; at small N it simply degrades to near-exact.
-    """
-
-    def __init__(self, dim: int, nlist: int | None = None, nprobe: int = 8,
-                 kmeans_iters: int = 10):
+    def __init__(self, dim: int):
         self.dim = dim
-        self.nlist = nlist
-        self.nprobe = nprobe
-        self.kmeans_iters = kmeans_iters
         self._ids: list[int] = []
         self._rows: dict[int, int] = {}
         self._data = np.zeros((0, dim), np.float32)
-        self._index = None          # ops.ivf.IvfIndexArrays
         self._dirty = True
 
     def add(self, ids: Sequence[int], vecs: np.ndarray) -> None:
@@ -352,6 +342,21 @@ class IvfTpuIndex:
 
     def __len__(self) -> int:
         return len(self._ids)
+
+
+class IvfTpuIndex(_HostRowStoreIndex):
+    """TPU-resident IVF index behind the common ``add/topk/save/load``
+    interface (`ops/ivf.py` does the math). Rebuild = k-means + bucket
+    packing. Suited to 1M+ catalogs where the exact scan stops being free;
+    at small N it simply degrades to near-exact."""
+
+    def __init__(self, dim: int, nlist: int | None = None, nprobe: int = 8,
+                 kmeans_iters: int = 10):
+        super().__init__(dim)
+        self.nlist = nlist
+        self.nprobe = nprobe
+        self.kmeans_iters = kmeans_iters
+        self._index = None          # ops.ivf.IvfIndexArrays
 
     def _rebuild(self) -> None:
         from recsys_tpu.ops.ivf import build_ivf
@@ -390,6 +395,71 @@ class IvfTpuIndex:
         z = np.load(path + ".npz")
         ix = cls(int(z["dim"]), nlist=int(z["nlist"]) or None,
                  nprobe=int(z["nprobe"]))
+        if len(z["ids"]):
+            ix.add(z["ids"], z["data"])
+        return ix
+
+
+# -- Int8 exact scan on TPU (device-resident, quantized) ---------------------
+
+class Int8TpuIndex(_HostRowStoreIndex):
+    """Device-resident exact scan over an int8-quantized catalog behind the
+    common ``add/topk/save/load`` interface (`ops/quant.py` does the math).
+
+    Rebuild is just requantization (no clustering), so mutations are cheap.
+    Exact ranking over the quantized scores — at serving scale the scan is
+    HBM-bandwidth-bound and int8 halves the bytes, making this the fastest
+    backend that is still (quantization-)exact; pair with
+    ``ops.quant.quantization_recall`` as the offline quality gate.
+    """
+
+    def __init__(self, dim: int, cosine: bool = True):
+        super().__init__(dim)
+        self.cosine = cosine
+        self._q = None              # ops.quant.QuantizedItems
+
+    def _rebuild(self) -> None:
+        import jax
+        import jax.numpy as jnp
+        from recsys_tpu.ops.quant import quantize_items_int8
+
+        mat = np.concatenate([np.zeros((1, self.dim), np.float32), self._data])
+        self._q = jax.tree.map(jnp.asarray,
+                               quantize_items_int8(mat, normalize=self.cosine))
+        self._dirty = False
+
+    def topk(self, queries: np.ndarray, k: int):
+        import jax.numpy as jnp
+        from recsys_tpu.ops.quant import int8_topk
+
+        queries = np.ascontiguousarray(np.atleast_2d(queries), np.float32)
+        m = queries.shape[0]
+        if not self._ids:
+            return (np.full((m, k), -1, np.int64), np.zeros((m, k), np.float32))
+        if self._dirty:
+            self._rebuild()
+        if self.cosine:
+            queries = queries / np.clip(
+                np.linalg.norm(queries, axis=-1, keepdims=True), 1e-12, None)
+        kk = min(k, len(self._ids))
+        vals, idx = int8_topk(jnp.asarray(queries), self._q, kk)
+        idx, vals = np.asarray(idx), np.asarray(vals)
+        if kk < k:  # fixed-width contract: pad with -1 / 0.0
+            idx = np.pad(idx, ((0, 0), (0, k - kk)))
+            vals = np.pad(vals, ((0, 0), (0, k - kk)), constant_values=-np.inf)
+        ext = np.concatenate([[-1], np.asarray(self._ids, np.int64)])
+        out_ids = np.where(idx > 0, ext[idx], -1)
+        out_scores = np.where(np.isfinite(vals), vals, 0.0).astype(np.float32)
+        return out_ids, out_scores
+
+    def save(self, path: str) -> None:
+        np.savez(path + ".npz", ids=np.asarray(self._ids, np.int64),
+                 data=self._data, dim=self.dim, cosine=self.cosine)
+
+    @classmethod
+    def load(cls, path: str) -> "Int8TpuIndex":
+        z = np.load(path + ".npz")
+        ix = cls(int(z["dim"]), cosine=bool(z["cosine"]))
         if len(z["ids"]):
             ix.add(z["ids"], z["data"])
         return ix

@@ -390,6 +390,10 @@ def build_app_context(cfg: Config, vectorizer: Callable | None = None) -> AppCon
         index = IvfTpuIndex(cfg.item_tower.dim,
                             nlist=cfg.serve.ivf_nlist or None,
                             nprobe=cfg.serve.ivf_nprobe)
+    elif cfg.serve.ann_backend == "int8":
+        from recsys_tpu.serve.ann import Int8TpuIndex
+
+        index = Int8TpuIndex(cfg.item_tower.dim, cosine=True)
     else:
         index = VectorIndex(cfg.item_tower.dim, cosine=True)
     vec_fn = vectorizer or hash_vectorizer(cfg.item_tower.dim)

@@ -54,3 +54,52 @@ def test_identical_vectors_score_maximally():
     u = items[[7, 42]]
     _, idx = int8_topk(u, qi, 1)
     assert np.asarray(idx).ravel().tolist() == [7, 42]
+
+
+def test_int8_tpu_index_lifecycle():
+    """Int8TpuIndex behind the common serving-index contract: add/update/
+    remove, id mapping, top-k agreement with the exact VectorIndex path."""
+    from recsys_tpu.serve.ann import Int8TpuIndex
+
+    rng = np.random.default_rng(5)
+    D = 32
+    ix = Int8TpuIndex(D)
+    # empty index contract
+    ids, scores = ix.topk(rng.normal(size=(2, D)).astype(np.float32), 3)
+    assert (ids == -1).all()
+    vecs = rng.normal(size=(10, D)).astype(np.float32)
+    ix.add(list(range(100, 110)), vecs)
+    assert len(ix) == 10
+    q = vecs[[3, 7]]
+    ids, scores = ix.topk(q, 3)
+    assert ids[0, 0] == 103 and ids[1, 0] == 107   # self-match first
+    assert scores[0, 0] > 0.98                      # cosine ~ 1
+    # update in place: moving vector 103 away dethrones it
+    ix.add([103], -vecs[3:4])
+    ids, _ = ix.topk(q[:1], 1)
+    assert ids[0, 0] != 103
+    # remove; k > len pads with -1
+    assert ix.remove(107) and not ix.remove(999)
+    ids, _ = ix.topk(q, 20)
+    assert (ids != 107).all()
+    assert (ids[:, len(ix):] == -1).all()
+    # save/load round trip
+    import tempfile, os
+    path = os.path.join(tempfile.mkdtemp(), "ix")
+    ix.save(path)
+    ix2 = Int8TpuIndex.load(path)
+    a, _ = ix.topk(q, 5)
+    b, _ = ix2.topk(q, 5)
+    assert (a == b).all()
+
+
+def test_int8_backend_selectable_in_app_context():
+    from recsys_tpu.config import load_config
+    from recsys_tpu.serve.ann import Int8TpuIndex
+    from recsys_tpu.serve.app import build_app_context
+
+    cfg = load_config(overrides={"serve": {"ann_backend": "int8",
+                                           "db_path": ":memory:",
+                                           "batch_window_ms": 0.0}})
+    ctx = build_app_context(cfg)
+    assert isinstance(ctx.index, Int8TpuIndex)
