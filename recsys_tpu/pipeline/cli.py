@@ -480,13 +480,18 @@ def cmd_train_hybrid(cfg: Config, args) -> dict:
                                data["targets_idx"], ks=cfg.user_train.eval_ks)
     # serving blend over the hybrid vectors (popularity prior + seen bonus,
     # same sweep the stage-2 eval runs)
-    from recsys_tpu.eval.baselines import blend_sweep
+    from recsys_tpu.eval.baselines import blend_sweep, repurchase_topk
+    from recsys_tpu.eval.recall import (bootstrap_mean_ci, paired_delta_ci,
+                                        recall_per_user)
     rows_used = rows[: len(uvecs)]
     hist = np.concatenate([tensors["input_ids"][rows_used],
                            tensors["target_ids"][rows_used][:, -1:]], 1)
+    ks = sorted(cfg.user_train.eval_ks)
+    k_primary = ks[min(1, len(ks) - 1)]
     blend = blend_sweep(uvecs, np.asarray(im_fn(state.params)), data["logq"],
                         hist, user_ids, data["targets_idx"],
-                        ks=cfg.user_train.eval_ks)
+                        ks=cfg.user_train.eval_ks, per_user_k=k_primary)
+    blend_pu = blend.pop("_per_user")
     out = {"hybrid_best": _best_epoch(history),
            "hybrid_final": history[-1] if history else {},
            "blend": {"best": blend["best"],
@@ -494,6 +499,22 @@ def cmd_train_hybrid(cfg: Config, args) -> dict:
            "ensemble": {k: (v if k.startswith("standalone") else
                             {"best_alpha": v["best_alpha"], "best": v["best"]})
                         for k, v in report.items()}}
+    # THE headline significance test: does the hybrid tower itself (not just
+    # the popularity/seen blend) beat the repurchase floor per-user?
+    rep_idx = repurchase_topk([hist[r] for r in range(len(hist))],
+                              data["logq"], k_primary)
+    rep_vals, rep_uids = recall_per_user(rep_idx, user_ids,
+                                         data["targets_idx"], k_primary)
+    if rep_uids == blend_pu["uids"]:
+        out["significance"] = {
+            "k": k_primary,
+            "hybrid": bootstrap_mean_ci(blend_pu["model_only"]),
+            "blend_best": bootstrap_mean_ci(blend_pu["best"]),
+            "repurchase": bootstrap_mean_ci(rep_vals),
+            "hybrid_vs_repurchase": paired_delta_ci(blend_pu["model_only"],
+                                                    rep_vals),
+            "blend_vs_repurchase": paired_delta_ci(blend_pu["best"],
+                                                   rep_vals)}
     with open(p["root"] + "/ensemble_report.json", "w") as f:
         json.dump(report, f, indent=1, default=str)
     return out
