@@ -265,18 +265,19 @@ def collect_user_vectors(cfg: Config, state_params, user_vectors_fn, data,
     bs = batch_size or cfg.user_train.batch_size
     user_ids = tensors["user_ids"]
     uids = [user_ids[r] for r in all_rows]
-    vecs = []
+    vecs, origs = [], []
     for s in range(0, n, bs):
         idx = all_rows[s:min(s + bs, n)]
-        orig = len(idx)
-        if orig < bs:
-            idx = np.concatenate([idx, np.zeros(bs - orig, np.int64)])
+        origs.append(len(idx))
+        if origs[-1] < bs:
+            idx = np.concatenate([idx, np.zeros(bs - origs[-1], np.int64)])
         batch = jax.device_put(_slice(tensors, idx), data_sharding(mesh))
-        u = user_vectors_fn(state_params, batch)
-        vecs.append(np.asarray(u)[:orig])
+        # keep results on device; a per-batch np.asarray would block on a
+        # full tunnel round trip per batch (latency-bound at 280+ batches)
+        vecs.append(user_vectors_fn(state_params, batch))
     if not vecs:
         return np.zeros((0, cfg.user_tower.d_model), np.float32), uids
-    return np.concatenate(vecs), uids
+    return np.concatenate([np.asarray(v)[:o] for v, o in zip(vecs, origs)]), uids
 
 
 def evaluate_stage2(cfg: Config, state_params, user_vectors_fn, data, mesh,
@@ -300,15 +301,17 @@ def evaluate_stage2(cfg: Config, state_params, user_vectors_fn, data, mesh,
                             cfg.user_train.eval_ks)
     padded = np.concatenate([uvecs, np.zeros((-n % bs, uvecs.shape[1]),
                                              uvecs.dtype)]) if n % bs else uvecs
-    all_idx = []
     norm = cfg.user_train.eval_score != "dot"
-    for s in range(0, len(padded), bs):
-        _, top = topk_scores(jnp.asarray(padded[s:s + bs]),
-                             item_dev, max_k, mesh=mesh,
-                             normalize_items=norm)
-        all_idx.append(np.asarray(top))
-    return recall_at_ks(np.concatenate(all_idx)[:n], uids, targets,
-                        cfg.user_train.eval_ks)
+    # ONE jitted executable for the whole loop: an eager topk_scores is
+    # ~8 op dispatches per batch, and through the remote-chip tunnel each
+    # dispatch is a round trip — at 218k eval users (284 batches) that
+    # turned a seconds-long eval into tens of minutes.
+    score_fn = jax.jit(lambda u, it: topk_scores(u, it, max_k, mesh=mesh,
+                                                 normalize_items=norm)[1])
+    all_idx = [score_fn(padded[s:s + bs], item_dev)
+               for s in range(0, len(padded), bs)]   # device-side, no syncs
+    return recall_at_ks(np.concatenate([np.asarray(i) for i in all_idx])[:n],
+                        uids, targets, cfg.user_train.eval_ks)
 
 
 def train_user_tower(cfg: Config, data: dict, pretrained_matrix: np.ndarray | None,
