@@ -263,17 +263,29 @@ def _blend_sweep_device(user_vecs, item_matrix, logq, histories, user_ids,
 
     items_dev = jnp.asarray(items)
     pop_dev = jnp.asarray(pop)
-    parts = []
+    parts, origs = [], []
     n = len(user_vecs)
     for s0 in range(0, n, bs):
         u = np.asarray(user_vecs[s0:s0 + bs], np.float32)
         h = np.asarray(histories[s0:s0 + bs])
-        orig = len(u)
-        if orig < bs:  # fixed shapes: one compile for every batch
-            u = np.concatenate([u, np.zeros((bs - orig, u.shape[1]), np.float32)])
-            h = np.concatenate([h, np.zeros((bs - orig, h.shape[1]), h.dtype)])
-        out = batch_topk(jnp.asarray(u), items_dev, pop_dev, jnp.asarray(h))
-        parts.append(np.asarray(out)[:, :orig])
+        origs.append(len(u))
+        if origs[-1] < bs:  # fixed shapes: one compile for every batch
+            u = np.concatenate([u, np.zeros((bs - origs[-1], u.shape[1]),
+                                            np.float32)])
+            h = np.concatenate([h, np.zeros((bs - origs[-1], h.shape[1]),
+                                            h.dtype)])
+        # bounded in-flight window: syncing per batch is latency-bound
+        # through the remote-chip tunnel, but keeping ALL (M, B, k) results
+        # on device is ~9 GB at 218k users x 21 combos x k=500 — so let a
+        # few batches pipeline, then drain the oldest to host
+        parts.append(batch_topk(jnp.asarray(u), items_dev, pop_dev,
+                                jnp.asarray(h)))
+        drain = len(parts) - 8
+        for i in range(drain):
+            if not isinstance(parts[i], np.ndarray):
+                parts[i] = np.asarray(parts[i])[:, :origs[i]]
+    parts = [p if isinstance(p, np.ndarray) else np.asarray(p)[:, :o]
+             for p, o in zip(parts, origs)]
     table: dict = {}
     for m, (alpha, beta) in enumerate(combos):
         idx = (np.concatenate([p[m] for p in parts])

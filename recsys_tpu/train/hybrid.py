@@ -172,25 +172,27 @@ def hybrid_eval(cfg: Config, params, uv_fn, im_fn, data, gnn_users, mesh,
     # evaluate_stage2; a 6x eval cut at reference catalog scale)
     rows = target_rows(user_ids, targets)
     n = len(rows)
-    item_matrix = im_fn(params)
     max_k = max(cfg.user_train.eval_ks)
     uids = [user_ids[r] for r in rows]
-    all_idx = []
+    # one jitted executable, device-side accumulation, one final sync
+    # (per-batch eager topk + np.asarray is tunnel-latency-bound; see
+    # sasrec.evaluate_stage2)
+    score = jax.jit(lambda p, b, gu: topk_scores(
+        uv_fn(p, b, gu), im_fn(p), max_k, mesh=mesh, normalize_items=False)[1])
+    all_idx, origs = [], []
     for s in range(0, n, bs):
         idx = rows[s:min(s + bs, n)]
-        orig = len(idx)
-        if orig < bs:
-            idx = np.concatenate([idx, np.zeros(bs - orig, np.int64)])
+        origs.append(len(idx))
+        if origs[-1] < bs:
+            idx = np.concatenate([idx, np.zeros(bs - origs[-1], np.int64)])
         batch = jax.device_put(_slice(tensors, idx), data_sharding(mesh))
-        u = uv_fn(params, batch, jnp.asarray(gnn_users[idx]))
-        _, top = topk_scores(u, item_matrix, max_k, mesh=mesh,
-                             normalize_items=False)
-        all_idx.append(np.asarray(top)[:orig])
+        all_idx.append(score(params, batch, jnp.asarray(gnn_users[idx])))
     if not all_idx:
         return recall_at_ks(np.zeros((0, max_k), np.int64), [], targets,
                             cfg.user_train.eval_ks)
-    return recall_at_ks(np.concatenate(all_idx), uids, targets,
-                        cfg.user_train.eval_ks)
+    return recall_at_ks(
+        np.concatenate([np.asarray(t)[:o] for t, o in zip(all_idx, origs)]),
+        uids, targets, cfg.user_train.eval_ks)
 
 
 def topm_for_model(user_vecs: np.ndarray, item_matrix: np.ndarray, m: int,
@@ -200,17 +202,22 @@ def topm_for_model(user_vecs: np.ndarray, item_matrix: np.ndarray, m: int,
 
     Chunked over users: an unchunked (U, N) score matrix OOMs the chip at
     catalog scale (31k eval users x 47k items ~ 6 GB of scores + sort
-    temps). The item matrix is device-put once."""
+    temps). The item matrix is device-put once; one jitted executable for
+    all full-size chunks and results stay on device until one final sync
+    (per-chunk eager dispatch + sync is tunnel-latency-bound, see
+    sasrec.evaluate_stage2)."""
     im = jnp.asarray(item_matrix)
-    idxs, valss = [], []
-    for s in range(0, len(user_vecs), batch_size):
-        vals, idx = topk_scores(jnp.asarray(user_vecs[s:s + batch_size]), im,
-                                m, mesh=mesh, normalize_items=normalize_items)
-        idxs.append(np.asarray(idx))
-        valss.append(np.asarray(vals))
-    if not idxs:
+    fn = jax.jit(lambda u, it: topk_scores(u, it, m, mesh=mesh,
+                                           normalize_items=normalize_items))
+    outs = [fn(user_vecs[s:s + batch_size], im)
+            for s in range(0, len(user_vecs) - batch_size + 1, batch_size)]
+    tail = len(outs) * batch_size
+    if tail < len(user_vecs):  # ragged last chunk: separate executable
+        outs.append(fn(user_vecs[tail:], im))
+    if not outs:
         return (np.zeros((0, m), np.int64), np.zeros((0, m), np.float32))
-    return np.concatenate(idxs), np.concatenate(valss)
+    return (np.concatenate([np.asarray(i) for _, i in outs]),
+            np.concatenate([np.asarray(v) for v, _ in outs]))
 
 
 def ensemble_report(model_a: tuple, model_b: tuple, user_ids, targets_idx,
