@@ -74,8 +74,8 @@ def repurchase_topk(histories: list[np.ndarray], logq: np.ndarray,
 
 
 def content_profile_topk(histories: list[np.ndarray], item_matrix: np.ndarray,
-                         max_k: int, *, half_life: float | None = None
-                         ) -> np.ndarray:
+                         max_k: int, *, half_life: float | None = None,
+                         device: bool | None = None) -> np.ndarray:
     """Training-free content retrieval: each user's vector is the mean of
     their history items' stage-1 content vectors (cosine top-k, PAD row 0
     excluded).
@@ -109,6 +109,17 @@ def content_profile_topk(histories: list[np.ndarray], item_matrix: np.ndarray,
             profiles[r] = vecs.mean(0)
     norms = np.linalg.norm(profiles, axis=-1, keepdims=True)
     profiles /= np.clip(norms, 1e-12, None)
+    if device is None:
+        import jax
+
+        # the scoring matmul is (n, N) — at 218k eval users x 105k items
+        # that's ~6 PFLOP-equivalent of host GEMM (~15 min on 2 vCPUs) vs
+        # seconds on one chip
+        device = (jax.default_backend() != "cpu"
+                  and n * items.shape[0] > 2e8)
+    if device:
+        idx, _ = _chunked_device_topk(profiles, items, max_k)
+        return idx
     out = np.zeros((n, max_k), np.int64)
     chunk = 2048
     for s0 in range(0, n, chunk):
@@ -119,6 +130,33 @@ def content_profile_topk(histories: list[np.ndarray], item_matrix: np.ndarray,
         order = np.take_along_axis(scores, idx, 1).argsort(1)[:, ::-1]
         out[s0:s0 + chunk] = np.take_along_axis(idx, order, 1)
     return out
+
+
+def _chunked_device_topk(user_vecs: np.ndarray, items: np.ndarray,
+                         max_k: int, chunk: int = 2048):
+    """Jitted chunked (U, N) scoring + top-k with device-side accumulation
+    (items already normalized by the caller; one padded executable)."""
+    import jax
+    import jax.numpy as jnp
+    from recsys_tpu.eval.recall import topk_scores
+
+    im = jnp.asarray(items)
+    fn = jax.jit(lambda u, it: topk_scores(u, it, max_k,
+                                           normalize_items=False))
+    n = len(user_vecs)
+    outs, origs = [], []
+    for s0 in range(0, n, chunk):
+        u = np.asarray(user_vecs[s0:s0 + chunk], np.float32)
+        origs.append(len(u))
+        if origs[-1] < chunk:
+            u = np.concatenate([u, np.zeros((chunk - origs[-1], u.shape[1]),
+                                            np.float32)])
+        outs.append(fn(u, im))
+    idx = np.concatenate([np.asarray(i)[:o] for (_, i), o in zip(outs, origs)]
+                         ) if outs else np.zeros((0, max_k), np.int64)
+    vals = np.concatenate([np.asarray(v)[:o] for (v, _), o in zip(outs, origs)]
+                          ) if outs else np.zeros((0, max_k), np.float32)
+    return idx.astype(np.int64), vals
 
 
 def _minmax(x: np.ndarray) -> np.ndarray:

@@ -238,3 +238,25 @@ def test_per_user_blocks_align_across_report_and_blend():
                    - bl["table"]["a0.0_b0.0"]["recall@20"]) < 1e-12
         assert abs(bpu["best"].mean()
                    - bl["best_metrics"]["recall@20"]) < 1e-12
+
+
+def test_content_profile_device_backend_matches_host():
+    from recsys_tpu.eval.baselines import content_profile_topk
+
+    rng = np.random.default_rng(11)
+    N, D = 80, 16
+    items = rng.normal(size=(N + 1, D)).astype(np.float32)
+    items[0] = 0
+    hists = [rng.integers(0, N + 1, rng.integers(0, 6)) for _ in range(33)]
+    host = content_profile_topk(hists, items, 10, device=False)
+    dev = content_profile_topk(hists, items, 10, device=True)
+    # identical top-k sets where scores are continuous (non-empty history
+    # after dropping PAD 0s); empty-profile rows are all-ties and the two
+    # backends may pick different arbitrary sets
+    checked = 0
+    for r, h in enumerate(hists):
+        if not (np.asarray(h) > 0).any():
+            continue
+        checked += 1
+        assert set(host[r].tolist()) == set(dev[r].tolist()), r
+    assert checked >= 20
