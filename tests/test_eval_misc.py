@@ -260,3 +260,21 @@ def test_content_profile_device_backend_matches_host():
         checked += 1
         assert set(host[r].tolist()) == set(dev[r].tolist()), r
     assert checked >= 20
+
+
+def test_topk_scores_jitted_under_model_mesh(mesh8):
+    """evaluate_stage2/hybrid_eval now wrap topk_scores in jax.jit with a
+    model>1 mesh closed over (smap inside jit) — pin that this compiles and
+    matches the eager sharded result."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    items = rng.normal(size=(64, 8)).astype(np.float32)
+    items[0] = 0
+    u = rng.normal(size=(16, 8)).astype(np.float32)
+    from recsys_tpu.eval.recall import topk_scores
+
+    _, eager = topk_scores(jnp.asarray(u), jnp.asarray(items), 5, mesh=mesh8)
+    f = jax.jit(lambda uu, it: topk_scores(uu, it, 5, mesh=mesh8)[1])
+    jitted = f(u, items)
+    assert np.array_equal(np.asarray(eager), np.asarray(jitted))
