@@ -196,6 +196,11 @@ class GNNConfig:
     # reference scale. Same rationale as UserTrainConfig.steps_per_epoch_min.
     steps_per_epoch_min: int = 100
     logit_clamp: float = 100.0
+    # cap on optimizer steps per epoch (0 = none): at the 33M-transaction
+    # H&M shape a full epoch is ~4k full-graph steps; the reference's own
+    # epoch was 1375 steps at 11.3M edges (`v1_lightgcl.py:645`), so a cap
+    # keeps wall-clock bounded with a comparable training signal
+    steps_per_epoch_max: int = 0
     # propagation backend: auto -> block-SpMM Pallas kernel on accelerators
     # (3.5x the XLA scatter path), segment_sum on the CPU test mesh;
     # segment_sum_sharded shards the edge list over the mesh's model axis

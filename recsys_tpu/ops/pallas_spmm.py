@@ -43,6 +43,11 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+# TPU SMEM budget for scalar-prefetch chunk arrays (observed hard limit
+# ~1 MB/operand; keep headroom for the grid index maps)
+SMEM_PREFETCH_BUDGET = 800_000
+
+
 @dataclass(frozen=True)
 class SpmmMeta:
     """Static (hashable) kernel geometry."""
@@ -116,12 +121,32 @@ def block_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
     src = src[keep].astype(np.int64)
     dst = dst[keep].astype(np.int64)
     weight = weight[keep].astype(np.float32)
-    n_pad = ((num_nodes + block_n - 1) // block_n) * block_n
-    n_blocks = n_pad // block_n
     q = chunk_e // split                 # logical run length
 
-    sb = src // block_n
-    db = dst // block_n
+    # The chunk arrays ride TPU SMEM as scalar-prefetch operands with a hard
+    # ~1 MB per-kernel budget. Chunk count is floored by the number of
+    # non-empty (dst_block, src_block) pairs — at the H&M shape (1.47M
+    # nodes, ~57M symmetric edges) block_n=1024 gives ~278k chunks = 1.1 MB
+    # for chunk_db alone (observed AOT failure: "prefetched SMEM operand
+    # would exceed memory"). Larger blocks quadratically shrink the pair
+    # count, so auto-double block_n until the bound fits.
+    smem_budget = SMEM_PREFETCH_BUDGET
+    while True:
+        n_pad = ((num_nodes + block_n - 1) // block_n) * block_n
+        n_blocks = n_pad // block_n
+        sb = src // block_n
+        db = dst // block_n
+        _, counts = np.unique(db * n_blocks + sb, return_counts=True)
+        logical_bound = int(np.sum(-(-counts // q))) + n_blocks
+        # chunk_sb flattens to ~logical entries; chunk_db adds C <= logical
+        if 4 * 2 * logical_bound <= smem_budget or block_n >= n_pad:
+            break
+        if block_n >= 16384:  # VMEM x-slab bound; beyond this the kernel
+            raise ValueError(  # can't fit — use gnn.propagation=segment_sum
+                f"block-SpMM chunk arrays exceed the SMEM budget even at "
+                f"block_n={block_n} ({logical_bound} chunks); set "
+                f"gnn.propagation=segment_sum for this graph")
+        block_n *= 2
     order = np.lexsort((sb, db))
     src, dst, weight, sb, db = (a[order] for a in (src, dst, weight, sb, db))
 

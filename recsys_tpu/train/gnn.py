@@ -185,6 +185,8 @@ def train_lightgcl(cfg: Config, graph: BipartiteGraph, edges_u: np.ndarray,
     passes = max(1, -(-g.steps_per_epoch_min //
                       max(len(edges_u) // g.batch_size, 1)))
     steps_per_epoch = max(len(edges_u) // g.batch_size, 1) * passes
+    if g.steps_per_epoch_max:
+        steps_per_epoch = min(steps_per_epoch, g.steps_per_epoch_max)
     if fine_tune:
         sched = optax.cosine_decay_schedule(g.lr * 0.4, steps_per_epoch * g.epochs,
                                             alpha=1e-5 / (g.lr * 0.4))
@@ -210,7 +212,8 @@ def train_lightgcl(cfg: Config, graph: BipartiteGraph, edges_u: np.ndarray,
 
     gstep = 0
     for epoch in range(start_epoch, g.epochs + 1):
-        tot, nb = 0.0, 0
+        losses: list = []   # device scalars; a float() per step would block
+        ep_steps = 0        # on a full tunnel round trip per step
         for _pass in range(passes):   # steps floor: shuffled re-passes
             for users, pos, neg in sample_bpr_batches(edges_u, edges_i,
                                                       graph.num_items,
@@ -218,11 +221,15 @@ def train_lightgcl(cfg: Config, graph: BipartiteGraph, edges_u: np.ndarray,
                                                       sorted_keys):
                 state, aux = step_fn(state, jnp.asarray(users), jnp.asarray(pos),
                                      jnp.asarray(neg))
-                tot += float(aux["loss"]); nb += 1; gstep += 1
+                losses.append(aux["loss"]); gstep += 1; ep_steps += 1
                 if gstep % 100 == 0:
                     writer.write("train", gstep, loss=float(aux["loss"]),
                                  bpr=float(aux["bpr"]), ssl=float(aux["ssl"]))
-        mean = tot / max(nb, 1)
+                if g.steps_per_epoch_max and ep_steps >= steps_per_epoch:
+                    break
+            if g.steps_per_epoch_max and ep_steps >= steps_per_epoch:
+                break
+        mean = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
         writer.write("epoch", epoch, loss=mean)
         store.save(f"ep{epoch:03d}", state, step=gstep, metric=mean,
                    extra={"epoch": epoch})

@@ -115,3 +115,33 @@ def test_spmm_mxu_parts_parity(graph, mxu_parts):
     dx_ref = propagate(g, jnp.asarray(graph.src), jnp.asarray(graph.dst),
                        jnp.asarray(graph.weight), n)
     np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), atol=1e-5)
+
+
+def test_block_graph_autoscales_block_n_to_smem_budget(monkeypatch):
+    """When the chunk-count bound would blow the SMEM scalar-prefetch
+    budget, block_graph must double block_n until it fits (the H&M-shape
+    failure mode: ~278k chunks at block_n=1024 > 1 MB/operand)."""
+    import recsys_tpu.ops.pallas_spmm as ps
+
+    rng = np.random.default_rng(0)
+    n_nodes = 4096
+    e = 6000
+    src = rng.integers(0, n_nodes, e)
+    dst = rng.integers(0, n_nodes, e)
+    w = np.ones(e, np.float32)
+    base = ps.block_graph(src, dst, w, n_nodes, block_n=1024, chunk_e=1024)
+    # shrink the budget below the base chunk arrays -> must auto-scale
+    need = 8 * base.meta.num_chunks
+    monkeypatch.setattr(ps, "SMEM_PREFETCH_BUDGET", need - 1)
+    scaled = ps.block_graph(src, dst, w, n_nodes, block_n=1024, chunk_e=1024)
+    assert scaled.meta.block_n > 1024
+    assert 8 * scaled.meta.num_chunks < need
+    # numerics identical across the two geometries
+    x = rng.normal(size=(scaled.meta.num_nodes, 8)).astype(np.float32)
+    xb = x[: base.meta.num_nodes]
+    a = ps.spmm(base.meta, jax.tree.map(jnp.asarray, base.device_arrays()),
+                jnp.asarray(xb), "fp32")
+    b = ps.spmm(scaled.meta, jax.tree.map(jnp.asarray, scaled.device_arrays()),
+                jnp.asarray(x), "fp32")
+    np.testing.assert_allclose(np.asarray(a)[:n_nodes],
+                               np.asarray(b)[:n_nodes], rtol=2e-4, atol=2e-4)
