@@ -34,8 +34,9 @@ run() {  # run <name> <timeout_s> <cmd...>
 [ -z "$FAILED" ] || { echo "HM-SHAPE-FAILED:$FAILED"; exit 1; }
 [ -s "$OUT/user.json" ] || run user 14400 train-user --set user_train.ckpt_every=5
 # steps cap ~= the reference's own epoch length (1375 steps at 11.3M edges,
-# v1_lightgcl.py:645); an uncapped epoch here is ~4k full-graph steps
-[ -s "$OUT/gnn.json" ] || run gnn 10800 train-gnn --set gnn.epochs=2 \
+# v1_lightgcl.py:645); an uncapped epoch here is ~4k full-graph steps at
+# ~4x the per-step propagation cost (57M vs 11.3M edges)
+[ -s "$OUT/gnn.json" ] || run gnn 10800 train-gnn --set gnn.epochs=1 \
   --set gnn.steps_per_epoch_max=1500
 [ -s "$OUT/distill.json" ] || run distill 3600 distill
 [ -s "$OUT/hybrid.json" ] || run hybrid 10800 train-hybrid \

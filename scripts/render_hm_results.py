@@ -1,0 +1,98 @@
+"""Render the H&M-shape headline table from artifacts/quality_hm/*.json.
+
+Usage: python scripts/render_hm_results.py [artifacts/quality_hm]
+Prints the markdown table embedded in RESULTS.md — every number traceable
+to a committed JSON artifact (VERDICT r1 item 5).
+"""
+
+import json
+import os
+import sys
+
+
+def _load(root: str, name: str):
+    path = os.path.join(root, name + ".json")
+    try:
+        with open(path) as f:
+            text = f.read().strip()
+        return json.loads(text.splitlines()[-1]) if text else None
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
+def _pct(x, nd=2):
+    return f"{100 * x:.{nd}f}%" if x is not None else "—"
+
+
+def main():
+    root = sys.argv[1] if len(sys.argv) > 1 else "artifacts/quality_hm"
+    gen = _load(root, "gen") or {}
+    user = _load(root, "user") or {}
+    ev = _load(root, "eval") or {}
+    hyb = _load(root, "hybrid") or {}
+    purity = _load(root, "knn_purity")
+
+    print(f"World: {gen.get('items'):,} items / {gen.get('users'):,} users / "
+          f"{gen.get('transactions'):,} transactions; latent-cluster oracle "
+          f"{_pct(gen.get('oracle', {}).get('oracle_recall'))}@100.")
+    if purity:
+        print(f"Stage-1 kNN purity (k=10, {purity['query_sample']:,} query "
+              f"sample): {purity['knn_purity']:.3f} over "
+              f"{purity['n_clusters']} clusters "
+              f"(random ≈ {64 / max(purity['n_items'], 1):.4f}).")
+    print()
+    rows = []
+    base = ev.get("baselines", {})
+    for name, key in [("popularity", "popularity"),
+                      ("repurchase", "repurchase"),
+                      ("content-profile", "content_profile"),
+                      ("content-profile (recency)", "content_profile_recency")]:
+        m = base.get(key)
+        if m:
+            rows.append((name, m))
+    if "recall@100" in ev:
+        rows.append(("SASRec stage-2 (best ckpt)",
+                     {k: ev[k] for k in ev if k.startswith("recall") or k == "n_eval"}))
+    elif user.get("best"):
+        rows.append(("SASRec stage-2 (best ckpt)", user["best"]))
+    eb = hyb.get("ensemble", {})
+    if "standalone_b" in eb:
+        rows.append(("GNN standalone (distilled)", eb["standalone_b"]))
+    hb = hyb.get("hybrid_best")
+    if hb:
+        rows.append(("hybrid tower (best ckpt)", hb))
+    bl = ev.get("blend", {}).get("best_metrics")
+    if bl:
+        rows.append((f"stage-2 serving blend ({ev['blend']['best']})", bl))
+    hbl = hyb.get("blend", {}).get("best_metrics")
+    if hbl:
+        rows.append((f"hybrid serving blend ({hyb['blend']['best']})", hbl))
+
+    ks = [k for k in ("recall@20", "recall@100", "recall@500")
+          if any(k in m for _, m in rows)]
+    print("| System | " + " | ".join(k for k in ks) + " | n_eval |")
+    print("|---|" + "---|" * (len(ks) + 1))
+    for name, m in rows:
+        cells = " | ".join(_pct(m.get(k)) if m.get(k) is not None else "—"
+                           for k in ks)
+        n = m.get("n_eval")
+        print(f"| {name} | {cells} | {n:,} |" if n is not None
+              else f"| {name} | {cells} | — |")
+    print()
+
+    for label, src in [("stage-2 eval", ev), ("hybrid", hyb)]:
+        sig = src.get("significance")
+        if not sig:
+            continue
+        print(f"Paired bootstrap significance ({label}, k={sig['k']}, "
+              f"95% CI, n={sig.get('repurchase', {}).get('n', '—'):,}):")
+        for key, d in sig.items():
+            if isinstance(d, dict) and "delta" in d:
+                print(f"  {key}: Δ={_pct(d['delta'])} "
+                      f"[{_pct(d['lo'])}, {_pct(d['hi'])}], "
+                      f"p_improve={d['p_improve']:.3f}")
+        print()
+
+
+if __name__ == "__main__":
+    main()
