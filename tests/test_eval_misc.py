@@ -278,3 +278,40 @@ def test_topk_scores_jitted_under_model_mesh(mesh8):
     f = jax.jit(lambda uu, it: topk_scores(uu, it, 5, mesh=mesh8)[1])
     jitted = f(u, items)
     assert np.array_equal(np.asarray(eager), np.asarray(jitted))
+
+
+def test_repurchase_topk_matches_reference_loop():
+    """The vectorized popularity fill must be bit-identical to the naive
+    per-user scan (count desc, recency desc head; fill skips ranked)."""
+    from recsys_tpu.eval.baselines import popularity_ranking, repurchase_topk
+
+    rng = np.random.default_rng(17)
+    N, max_k = 50, 12
+    logq = rng.normal(-5, 1, N + 1)
+    logq[0] = -20.0
+    hists = [rng.integers(0, N + 1, rng.integers(0, 30)) for _ in range(200)]
+    hists.append(np.zeros(5, np.int64))                    # empty history
+    hists.append(np.full(40, 7, np.int64))                 # single hot item
+    got = repurchase_topk(hists, logq, max_k)
+
+    pop = popularity_ranking(logq, max_k + max(len(h) for h in hists) + 1)
+    for r, hist in enumerate(hists):
+        hist = np.asarray(hist)
+        hist = hist[hist > 0]
+        ranked = []
+        if len(hist):
+            uniq, counts = np.unique(hist, return_counts=True)
+            last_pos = {int(it): p for p, it in enumerate(hist)}
+            ranked = [int(it) for it in sorted(
+                uniq.tolist(),
+                key=lambda it: (-counts[np.searchsorted(uniq, it)],
+                                -last_pos[int(it)]))][:max_k]
+        seen = set(ranked)
+        for it in pop:
+            if len(ranked) >= max_k:
+                break
+            if int(it) not in seen:
+                ranked.append(int(it))
+        want = np.zeros(max_k, np.int64)
+        want[:len(ranked)] = ranked
+        assert (got[r] == want).all(), r
