@@ -28,7 +28,9 @@ def main():
     root = sys.argv[1] if len(sys.argv) > 1 else "artifacts/quality_hm"
     gen = _load(root, "gen") or {}
     user = _load(root, "user") or {}
-    ev = _load(root, "eval") or {}
+    # eval_cpu.json is the tunnel-wedge contingency output (same schema,
+    # ks capped at 100, reduced blend grid) — scripts/hm_eval_cpu.py
+    ev = _load(root, "eval") or _load(root, "eval_cpu") or {}
     hyb = _load(root, "hybrid") or {}
     purity = _load(root, "knn_purity")
 
