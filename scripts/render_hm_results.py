@@ -15,7 +15,12 @@ def _load(root: str, name: str):
     try:
         with open(path) as f:
             text = f.read().strip()
-        return json.loads(text.splitlines()[-1]) if text else None
+        if not text:
+            return None
+        try:
+            return json.loads(text)               # whole-file JSON
+        except json.JSONDecodeError:
+            return json.loads(text.splitlines()[-1])   # one-line-at-end logs
     except (FileNotFoundError, json.JSONDecodeError):
         return None
 
