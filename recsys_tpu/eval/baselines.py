@@ -109,19 +109,34 @@ def content_profile_topk(histories: list[np.ndarray], item_matrix: np.ndarray,
     items = np.asarray(item_matrix, np.float32).copy()
     items /= np.clip(np.linalg.norm(items, axis=-1, keepdims=True), 1e-12, None)
     n = len(histories)
-    profiles = np.zeros((n, items.shape[1]), np.float32)
+    # profile build as ONE sparse matmul (a per-user Python loop was ~10 min
+    # of the 218k-user H&M eval): rows = users, cols = items, values = the
+    # (optionally recency-decayed) normalized weights
+    from scipy import sparse
+
+    rows_l, cols_l, vals_l = [], [], []
     for r, hist in enumerate(histories):
         hist = np.asarray(hist)
         hist = hist[hist > 0]
         if not len(hist):
             continue
-        vecs = items[hist]
         if half_life:
             age = np.arange(len(hist) - 1, -1, -1, dtype=np.float32)
             w = 0.5 ** (age / half_life)
-            profiles[r] = (vecs * w[:, None]).sum(0) / w.sum()
+            w /= w.sum()
         else:
-            profiles[r] = vecs.mean(0)
+            w = np.full(len(hist), 1.0 / len(hist), np.float32)
+        rows_l.append(np.full(len(hist), r, np.int64))
+        cols_l.append(hist.astype(np.int64))
+        vals_l.append(w)
+    if rows_l:
+        m = sparse.csr_matrix(
+            (np.concatenate(vals_l),
+             (np.concatenate(rows_l), np.concatenate(cols_l))),
+            shape=(n, items.shape[0]), dtype=np.float32)
+        profiles = np.asarray(m @ items, np.float32)
+    else:
+        profiles = np.zeros((n, items.shape[1]), np.float32)
     norms = np.linalg.norm(profiles, axis=-1, keepdims=True)
     profiles /= np.clip(norms, 1e-12, None)
     if device is None:
