@@ -40,7 +40,7 @@ run() {  # run <name> <timeout_s> <cmd...>
   --set gnn.steps_per_epoch_max=1500
 [ -s "$OUT/distill.json" ] || run distill 3600 distill
 [ -s "$OUT/hybrid.json" ] || run hybrid 10800 train-hybrid \
-  --set user_train.epochs=4 --set user_train.ckpt_every=2
+  --set user_train.epochs=2 --set user_train.ckpt_every=1
 [ -s "$OUT/eval.json" ] || run eval 7200 eval
 if [ -n "$FAILED" ]; then echo "HM-SHAPE-PARTIAL failed:$FAILED"; exit 1; fi
 echo HM-SHAPE-DONE
