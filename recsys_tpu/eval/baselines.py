@@ -148,7 +148,12 @@ def content_profile_topk(histories: list[np.ndarray], item_matrix: np.ndarray,
         device = (jax.default_backend() != "cpu"
                   and n * items.shape[0] > 2e8)
     if device:
-        idx, _ = _chunked_device_topk(profiles, items, max_k)
+        # mirror the host branch's clamp: lax.top_k(k) needs k <= N+1; tiny
+        # catalogs with large eval ks pad the tail with PAD (never a hit)
+        k = min(max_k, items.shape[0] - 1)
+        idx, _ = _chunked_device_topk(profiles, items, k)
+        if k < max_k:
+            idx = np.pad(idx, ((0, 0), (0, max_k - k)))
         return idx
     out = np.zeros((n, max_k), np.int64)
     chunk = 2048
@@ -192,6 +197,13 @@ def _chunked_device_topk(user_vecs: np.ndarray, items: np.ndarray,
 def _minmax(x: np.ndarray) -> np.ndarray:
     lo, hi = float(x.min()), float(x.max())
     return (x - lo) / (hi - lo) if hi > lo else np.zeros_like(x)
+
+
+def _combo_key(alpha, beta) -> str:
+    """Blend-table key for an (alpha, beta) combo. Floats are normalized
+    (``0`` and ``0.0`` both -> ``a0.0``) so the model-only row keeps its
+    canonical ``a0.0_b0.0`` name whatever numeric types the caller swept."""
+    return f"a{float(alpha)}_b{float(beta)}"
 
 
 def blend_sweep(user_vecs: np.ndarray, item_matrix: np.ndarray,
@@ -260,13 +272,13 @@ def blend_sweep(user_vecs: np.ndarray, item_matrix: np.ndarray,
         idx = (np.concatenate(idx_parts[(alpha, beta)])
                if idx_parts[(alpha, beta)]
                else np.zeros((0, max_k), np.int64))
-        table[f"a{alpha}_b{beta}"] = recall_at_ks(idx, user_ids,
+        table[_combo_key(alpha, beta)] = recall_at_ks(idx, user_ids,
                                                   targets_idx, ks)
     key = f"recall@{sorted(ks)[min(1, len(ks) - 1)]}"
     best = max(table, key=lambda t: table[t][key])
     out = {"table": table, "best": best, "best_metrics": table[best]}
     if per_user_k is not None:
-        name_of = {f"a{a}_b{b}": (a, b) for a, b in combos}
+        name_of = {_combo_key(a, b): (a, b) for a, b in combos}
         full_idx = {nm: np.concatenate(idx_parts[c]) if idx_parts[c]
                     else np.zeros((0, max_k), np.int64)
                     for nm, c in name_of.items()
@@ -358,13 +370,13 @@ def _blend_sweep_device(user_vecs, item_matrix, logq, histories, user_ids,
     for m, (alpha, beta) in enumerate(combos):
         idx = (np.concatenate([p[m] for p in parts])
                if parts else np.zeros((0, max_k), np.int64))
-        table[f"a{alpha}_b{beta}"] = recall_at_ks(idx, user_ids,
+        table[_combo_key(alpha, beta)] = recall_at_ks(idx, user_ids,
                                                   targets_idx, ks)
     key = f"recall@{sorted(ks)[min(1, len(ks) - 1)]}"
     best = max(table, key=lambda t: table[t][key])
     out = {"table": table, "best": best, "best_metrics": table[best]}
     if per_user_k is not None:
-        name_of = {f"a{a}_b{b}": m for m, (a, b) in enumerate(combos)}
+        name_of = {_combo_key(a, b): m for m, (a, b) in enumerate(combos)}
         full_idx = {nm: (np.concatenate([p[m] for p in parts]) if parts
                          else np.zeros((0, max_k), np.int64))
                     for nm, m in name_of.items()

@@ -123,14 +123,19 @@ def block_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
     weight = weight[keep].astype(np.float32)
     q = chunk_e // split                 # logical run length
 
-    # The chunk arrays ride TPU SMEM as scalar-prefetch operands with a hard
-    # ~1 MB per-kernel budget. Chunk count is floored by the number of
-    # non-empty (dst_block, src_block) pairs — at the H&M shape (1.47M
-    # nodes, ~57M symmetric edges) block_n=1024 gives ~278k chunks = 1.1 MB
-    # for chunk_db alone (observed AOT failure: "prefetched SMEM operand
-    # would exceed memory"). Larger blocks quadratically shrink the pair
-    # count, so auto-double block_n until the bound fits.
+    # The chunk arrays ride TPU SMEM as scalar-prefetch operands. The hard
+    # limit is the TOTAL SMEM space (~1 MB = 1,048,576 B on v5e; observed
+    # AOT failure at the H&M shape: a single 1,114,112 B "prefetched SMEM
+    # operand 0" vs a 1,048,576 B space). SMEM_PREFETCH_BUDGET = 800k
+    # models that 1 MB space with headroom for the kernel's own scalars.
+    # The kernel prefetches split+1 int32 arrays of ~C entries each (db +
+    # one sb column per slot), so the bound is 4*(split+1)*C against the
+    # whole budget. Chunk count C is floored by the number of non-empty
+    # (dst_block, src_block) pairs — block_n=1024 gives ~278k chunks at
+    # 1.47M nodes / ~57M symmetric edges; larger blocks quadratically
+    # shrink the pair count, so auto-double block_n until the bound fits.
     smem_budget = SMEM_PREFETCH_BUDGET
+    n_operands = split + 1                 # chunk_db + sb column per slot
     while True:
         n_pad = ((num_nodes + block_n - 1) // block_n) * block_n
         n_blocks = n_pad // block_n
@@ -138,8 +143,8 @@ def block_graph(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
         db = dst // block_n
         _, counts = np.unique(db * n_blocks + sb, return_counts=True)
         logical_bound = int(np.sum(-(-counts // q))) + n_blocks
-        # chunk_sb flattens to ~logical entries; chunk_db adds C <= logical
-        if 4 * 2 * logical_bound <= smem_budget or block_n >= n_pad:
+        # each operand flattens to <= logical_bound entries (C <= logical)
+        if 4 * n_operands * logical_bound <= smem_budget or block_n >= n_pad:
             break
         if block_n >= 16384:  # VMEM x-slab bound; beyond this the kernel
             raise ValueError(  # can't fit — use gnn.propagation=segment_sum

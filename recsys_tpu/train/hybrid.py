@@ -177,8 +177,12 @@ def hybrid_eval(cfg: Config, params, uv_fn, im_fn, data, gnn_users, mesh,
     # one jitted executable, device-side accumulation, one final sync
     # (per-batch eager topk + np.asarray is tunnel-latency-bound; see
     # sasrec.evaluate_stage2)
-    score = jax.jit(lambda p, b, gu: topk_scores(
-        uv_fn(p, b, gu), im_fn(p), max_k, mesh=mesh, normalize_items=False)[1])
+    # item matrix computed ONCE (params are loop constants) and passed as a
+    # jit arg — recomputing the full-catalog item-adapter forward per batch
+    # is ~10% redundant device compute at the H&M shape
+    im = jax.jit(im_fn)(params)
+    score = jax.jit(lambda p, b, gu, it: topk_scores(
+        uv_fn(p, b, gu), it, max_k, mesh=mesh, normalize_items=False)[1])
     all_idx, origs = [], []
     for s in range(0, n, bs):
         idx = rows[s:min(s + bs, n)]
@@ -186,7 +190,7 @@ def hybrid_eval(cfg: Config, params, uv_fn, im_fn, data, gnn_users, mesh,
         if origs[-1] < bs:
             idx = np.concatenate([idx, np.zeros(bs - origs[-1], np.int64)])
         batch = jax.device_put(_slice(tensors, idx), data_sharding(mesh))
-        all_idx.append(score(params, batch, jnp.asarray(gnn_users[idx])))
+        all_idx.append(score(params, batch, jnp.asarray(gnn_users[idx]), im))
     if not all_idx:
         return recall_at_ks(np.zeros((0, max_k), np.int64), [], targets,
                             cfg.user_train.eval_ks)

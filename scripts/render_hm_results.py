@@ -29,6 +29,12 @@ def _pct(x, nd=2):
     return f"{100 * x:.{nd}f}%" if x is not None else "—"
 
 
+def _num(x):
+    """Thousands-format a count, degrading to an em-dash on missing
+    artifacts (the renderer must not crash on partial campaign output)."""
+    return f"{x:,}" if isinstance(x, (int, float)) else "—"
+
+
 def main():
     root = sys.argv[1] if len(sys.argv) > 1 else "artifacts/quality_hm"
     gen = _load(root, "gen") or {}
@@ -39,8 +45,10 @@ def main():
     hyb = _load(root, "hybrid") or {}
     purity = _load(root, "knn_purity")
 
-    print(f"World: {gen.get('items'):,} items / {gen.get('users'):,} users / "
-          f"{gen.get('transactions'):,} transactions; latent-cluster oracle "
+    print(f"World: {_num(gen.get('items'))} items / "
+          f"{_num(gen.get('users'))} users / "
+          f"{_num(gen.get('transactions'))} transactions; "
+          f"latent-cluster oracle "
           f"{_pct(gen.get('oracle', {}).get('oracle_recall'))}@100.")
     if purity:
         print(f"Stage-1 kNN purity (k=10, {purity['query_sample']:,} query "
@@ -82,9 +90,7 @@ def main():
     for name, m in rows:
         cells = " | ".join(_pct(m.get(k)) if m.get(k) is not None else "—"
                            for k in ks)
-        n = m.get("n_eval")
-        print(f"| {name} | {cells} | {n:,} |" if n is not None
-              else f"| {name} | {cells} | — |")
+        print(f"| {name} | {cells} | {_num(m.get('n_eval'))} |")
     print()
 
     for label, src in [("stage-2 eval", ev), ("hybrid", hyb)]:
@@ -92,7 +98,7 @@ def main():
         if not sig:
             continue
         print(f"Paired bootstrap significance ({label}, k={sig['k']}, "
-              f"95% CI, n={sig.get('repurchase', {}).get('n', '—'):,}):")
+              f"95% CI, n={_num(sig.get('repurchase', {}).get('n'))}):")
         for key, d in sig.items():
             if isinstance(d, dict) and "delta" in d:
                 print(f"  {key}: Δ={_pct(d['delta'])} "
