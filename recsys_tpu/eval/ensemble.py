@@ -181,14 +181,33 @@ def rrf_ensemble(idx_a: np.ndarray, idx_b: np.ndarray, k: int,
 def alpha_sweep(method: str, model_a: tuple, model_b: tuple, user_ids,
                 targets_idx: dict, ks=(20, 100, 500),
                 alphas=(1.0, 0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2, 0.1, 0.0),
-                k_rrf: int = 200) -> dict:
+                k_rrf: int = 200, device: bool | None = None) -> dict:
     """Sweep the fusion weight and report recall per alpha + the best
     (the reference's report-table-and-best-alpha protocol).
 
     model_a/model_b: (topm_idx, topm_scores) arrays, aligned to user_ids.
+
+    Two backends behind one contract (same pattern as
+    ``baselines.blend_sweep``): the host numpy fusers above are the
+    bit-parity reference (float64, reduceat group sums, tie order pinned
+    against the per-row dict algorithm); when an accelerator is present
+    and the pool is large the jitted device sweep (``_alpha_sweep_device``)
+    runs the same math in float32 with ``lax.sort``-lexicographic
+    (score desc, position asc) tie handling — ulp-level f32 ties may order
+    differently, which cannot move recall (continuous scores), while the
+    218k-user x 2000-candidate H&M hybrid ensemble drops from ~10 min of
+    single-threaded numpy to seconds of device time per method.
     """
     idx_a, sc_a = model_a
     idx_b, sc_b = model_b
+    if device is None:
+        import jax
+
+        device = (jax.default_backend() != "cpu"
+                  and idx_a.shape[0] * (idx_a.shape[1] + idx_b.shape[1]) > 2e7)
+    if device:
+        return _alpha_sweep_device(method, model_a, model_b, user_ids,
+                                   targets_idx, ks, alphas, k_rrf)
     max_k = max(ks)
     wf = (WeightedFuser(idx_a, sc_a, idx_b, sc_b)
           if method == "weighted" else None)
@@ -204,6 +223,194 @@ def alpha_sweep(method: str, model_a: tuple, model_b: tuple, user_ids,
             raise ValueError(method)
         table[alpha] = recall_at_ks(fused, user_ids, targets_idx, ks)
         if method == "rrf":  # rank fusion has no alpha; one row suffices
+            break
+    key = f"recall@{sorted(ks)[min(1, len(ks) - 1)]}"
+    best_alpha = max(table, key=lambda a: table[a][key])
+    return {"table": table, "best_alpha": best_alpha, "best": table[best_alpha]}
+
+
+# --------------------------------------------------------------------------
+# Device backend (VERDICT r2 item 6): the fusers are per-row array programs
+# with no cross-user coupling, so they map directly onto one jitted
+# chunk-over-users executable. All sorts are `lax.sort` multi-key
+# (lexicographic), so tie handling is deterministic: duplicate grouping
+# orders by (id, position), fusion top-k by (score desc, position asc) —
+# the same first-occurrence semantics as the host reference.
+# --------------------------------------------------------------------------
+
+
+def _dev_first_sums(idx, scores_list):
+    """Device twin of ``_group_sums``: per row, sum each scores array over
+    duplicate-id groups onto the first occurrence. Returns (sums, first)."""
+    import jax
+    import jax.numpy as jnp
+
+    B, M = idx.shape
+    pos = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (B, M))
+    sid, order = jax.lax.sort((idx.astype(jnp.int32), pos), dimension=1,
+                              num_keys=2)
+    start = jnp.concatenate(
+        [jnp.ones((B, 1), bool), sid[:, 1:] != sid[:, :-1]], axis=1)
+    seg_row = jnp.cumsum(start, axis=1) - 1                     # (B, M)
+    seg_global = (seg_row
+                  + (jnp.arange(B, dtype=jnp.int32) * M)[:, None]).reshape(-1)
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    inv = jnp.zeros((B, M), jnp.int32).at[rows, order].set(pos)
+    first = jnp.take_along_axis(start, inv, axis=1)
+    sums = []
+    for sc in scores_list:
+        ss = jnp.take_along_axis(sc.astype(jnp.float32), order, 1).reshape(-1)
+        seg = jax.ops.segment_sum(ss, seg_global, num_segments=B * M)
+        per_pos = seg[seg_global].reshape(B, M)
+        sums.append(jnp.take_along_axis(per_pos, inv, axis=1))
+    return sums, first
+
+
+def _dev_topk_first(idx, scores, k):
+    """Device twin of ``_topk_rows``: per-row top-k ids by (score desc,
+    position asc); -inf entries -> -1."""
+    import jax
+    import jax.numpy as jnp
+
+    B, M = idx.shape
+    pos = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (B, M))
+    neg, _, out_idx = jax.lax.sort(
+        (-scores.astype(jnp.float32), pos, idx.astype(jnp.int32)),
+        dimension=1, num_keys=2)
+    out_idx = out_idx[:, :k]
+    return jnp.where(jnp.isposinf(neg[:, :k]), -1, out_idx)
+
+
+def _dev_minmax_rows(s):
+    import jax.numpy as jnp
+
+    s = s.astype(jnp.float32)
+    lo = s.min(axis=1, keepdims=True)
+    hi = s.max(axis=1, keepdims=True)
+    rng = hi - lo
+    return jnp.where(rng > 0, (s - lo) / jnp.where(rng > 0, rng, 1.0),
+                     jnp.ones_like(s))
+
+
+def _dev_dedup_take(merged, k):
+    """Device twin of ``_dedup_take``: first k distinct ids in column
+    order, -1 padded."""
+    import jax
+    import jax.numpy as jnp
+
+    B, M = merged.shape
+    pos = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (B, M))
+    sid, order = jax.lax.sort((merged.astype(jnp.int32), pos), dimension=1,
+                              num_keys=2)
+    dup_sorted = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), sid[:, 1:] == sid[:, :-1]], axis=1)
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    inv = jnp.zeros((B, M), jnp.int32).at[rows, order].set(pos)
+    dup = jnp.take_along_axis(dup_sorted, inv, axis=1)
+    d, _, out = jax.lax.sort(
+        (dup.astype(jnp.int32), pos, merged.astype(jnp.int32)),
+        dimension=1, num_keys=2)
+    return jnp.where(d[:, :k] > 0, -1, out[:, :k])
+
+
+def _alpha_sweep_device(method, model_a, model_b, user_ids, targets_idx,
+                        ks, alphas, k_rrf, chunk: int = 2048) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    idx_a, sc_a = model_a
+    idx_b, sc_b = model_b
+    max_k = max(ks)
+    Ma, Mb = idx_a.shape[1], idx_b.shape[1]
+    M = Ma + Mb
+    alphas = list(alphas) if method != "rrf" else [list(alphas)[0]]
+
+    if method == "count_mix":
+        # per-alpha column permutation: [a[:na], b, a[na:]] of the concat
+        nas = [min(int(np.ceil(a * max_k)), Ma) for a in alphas]
+        perms = np.stack([np.concatenate([
+            np.arange(na), np.arange(Ma, M),
+            np.arange(na, Ma)]).astype(np.int32) for na in nas])
+        perms_dev = jnp.asarray(perms)
+
+        @jax.jit
+        def run_chunk(ia, ib):
+            merged_all = jnp.concatenate([ia, ib], axis=1)
+
+            def one(_, perm):
+                return None, _dev_dedup_take(merged_all[:, perm], max_k)
+
+            _, fused = jax.lax.scan(one, None, perms_dev)       # (A, B, k)
+            return fused
+    elif method == "weighted":
+        ab = jnp.asarray(np.asarray(alphas, np.float32))
+
+        @jax.jit
+        def run_chunk(ia, sa, ib, sb):
+            idx = jnp.concatenate([ia, ib], axis=1)
+            na = _dev_minmax_rows(sa)
+            nb = _dev_minmax_rows(sb)
+            za = jnp.zeros_like(na)
+            zb = jnp.zeros_like(nb)
+            ca = jnp.concatenate([na, zb], axis=1)
+            cb = jnp.concatenate([za, nb], axis=1)
+            (sum_a, sum_b), first = _dev_first_sums(idx, [ca, cb])
+
+            def one(_, alpha):
+                sc = jnp.where(first, alpha * sum_a + (1 - alpha) * sum_b,
+                               -jnp.inf)
+                return None, _dev_topk_first(idx, sc, max_k)
+
+            _, fused = jax.lax.scan(one, None, ab)              # (A, B, k)
+            return fused
+    elif method == "rrf":
+        ra = (1.0 / (k_rrf + np.arange(Ma, dtype=np.float32) + 1))
+        rb = (1.0 / (k_rrf + np.arange(Mb, dtype=np.float32) + 1))
+        rr = jnp.asarray(np.concatenate([ra, rb]))
+
+        @jax.jit
+        def run_chunk(ia, ib):
+            idx = jnp.concatenate([ia, ib], axis=1)
+            sc = jnp.broadcast_to(rr, idx.shape)
+            (s,), first = _dev_first_sums(idx, [sc])
+            sc = jnp.where(first, s, -jnp.inf)
+            return _dev_topk_first(idx, sc, max_k)[None]        # (1, B, k)
+    else:
+        raise ValueError(method)
+
+    n = len(idx_a)
+    parts, origs = [], []
+    for s0 in range(0, n, chunk):
+        sl = slice(s0, s0 + chunk)
+        ia = np.asarray(idx_a[sl], np.int32)
+        ib = np.asarray(idx_b[sl], np.int32)
+        origs.append(len(ia))
+        if origs[-1] < chunk:  # fixed shapes: one executable for all chunks
+            pad = chunk - origs[-1]
+            ia = np.concatenate([ia, np.full((pad, Ma), -2, np.int32)])
+            ib = np.concatenate([ib, np.full((pad, Mb), -2, np.int32)])
+        if method == "weighted":
+            sa = np.asarray(sc_a[sl], np.float32)
+            sb = np.asarray(sc_b[sl], np.float32)
+            if origs[-1] < chunk:
+                pad = chunk - origs[-1]
+                sa = np.concatenate([sa, np.zeros((pad, Ma), np.float32)])
+                sb = np.concatenate([sb, np.zeros((pad, Mb), np.float32)])
+            parts.append(run_chunk(jnp.asarray(ia), jnp.asarray(sa),
+                                   jnp.asarray(ib), jnp.asarray(sb)))
+        else:
+            parts.append(run_chunk(jnp.asarray(ia), jnp.asarray(ib)))
+        for i in range(len(parts) - 8):  # bounded in-flight window
+            if not isinstance(parts[i], np.ndarray):
+                parts[i] = np.asarray(parts[i])[:, :origs[i]]
+    parts = [p if isinstance(p, np.ndarray) else np.asarray(p)[:, :o]
+             for p, o in zip(parts, origs)]
+    table = {}
+    for m, alpha in enumerate(alphas):
+        fused = (np.concatenate([p[m] for p in parts], axis=0).astype(np.int64)
+                 if parts else np.zeros((0, max_k), np.int64))
+        table[alpha] = recall_at_ks(fused, user_ids, targets_idx, ks)
+        if method == "rrf":
             break
     key = f"recall@{sorted(ks)[min(1, len(ks) - 1)]}"
     best_alpha = max(table, key=lambda a: table[a][key])

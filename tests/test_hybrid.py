@@ -115,6 +115,36 @@ def test_vectorized_fusers_match_dict_reference():
     np.testing.assert_array_equal(got, want)
 
 
+def test_device_fusers_match_host_backend():
+    """The jitted device sweep == the host numpy fusers on all three
+    methods (distinct scores, so f32-vs-f64 tie handling can't differ),
+    including chunk padding (B not a multiple of chunk) and the ragged
+    alpha grid."""
+    from recsys_tpu.eval.ensemble import _alpha_sweep_device
+
+    rng = np.random.default_rng(3)
+    B, M, k = 33, 40, 12
+    idx_a = rng.integers(0, 120, size=(B, M))
+    idx_b = rng.integers(0, 120, size=(B, M))
+    # distinct well-separated descending scores: permutation / M
+    sc_a = np.sort(rng.permutation(B * M).astype(np.float64).reshape(B, M),
+                   1)[:, ::-1]
+    sc_b = np.sort(rng.permutation(B * M).astype(np.float64).reshape(B, M),
+                   1)[:, ::-1]
+    user_ids = [f"u{i}" for i in range(B)]
+    targets = {u: {int(idx_a[i, 0]), int(idx_b[i, 3])}
+               for i, u in enumerate(user_ids)}
+    alphas = (1.0, 0.5, 0.0)
+    for method in ("count_mix", "weighted", "rrf"):
+        host = alpha_sweep(method, (idx_a, sc_a), (idx_b, sc_b), user_ids,
+                           targets, ks=(4, k), alphas=alphas, device=False)
+        dev = _alpha_sweep_device(method, (idx_a, sc_a), (idx_b, sc_b),
+                                  user_ids, targets, ks=(4, k),
+                                  alphas=alphas, k_rrf=200, chunk=16)
+        assert host["table"] == dev["table"], method
+        assert host["best_alpha"] == dev["best_alpha"], method
+
+
 def test_alpha_sweep_reports_best():
     rng = np.random.default_rng(0)
     # model A is perfect for half the users, model B for the other half
