@@ -100,6 +100,7 @@ def main():
     for n_items, k, nlist, nprobe in [
         (47_000, 500, 256, 32),
         (47_000, 50, 256, 16),
+        (105_000, 500, 512, 32),   # the H&M-shape catalog (VERDICT r2 item 4)
         (1_000_000, 100, 1024, 32),
     ]:
         try:

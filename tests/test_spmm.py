@@ -145,3 +145,31 @@ def test_block_graph_autoscales_block_n_to_smem_budget(monkeypatch):
                 jnp.asarray(x), "fp32")
     np.testing.assert_allclose(np.asarray(a)[:n_nodes],
                                np.asarray(b)[:n_nodes], rtol=2e-4, atol=2e-4)
+
+
+def test_block_graph_smem_bound_counts_split_operands(monkeypatch):
+    """The SMEM bound models split+1 scalar-prefetch operands (db + one sb
+    column per slot), so at an equal budget a split=4 geometry must scale
+    block_n at least as far as split=1 (ADVICE r2: the old 2-operand
+    estimate let split>1 pass the check yet exceed the per-kernel SMEM)."""
+    import recsys_tpu.ops.pallas_spmm as ps
+
+    rng = np.random.default_rng(1)
+    n_nodes = 4096
+    e = 6000
+    src = rng.integers(0, n_nodes, e)
+    dst = rng.integers(0, n_nodes, e)
+    w = np.ones(e, np.float32)
+    base = ps.block_graph(src, dst, w, n_nodes, block_n=512, chunk_e=1024,
+                          pack=2, split=1)
+    # budget that base (2 operands) passes exactly
+    monkeypatch.setattr(ps, "SMEM_PREFETCH_BUDGET",
+                        4 * 2 * base.meta.num_chunks + 4096)
+    s1 = ps.block_graph(src, dst, w, n_nodes, block_n=512, chunk_e=1024,
+                        pack=2, split=1)
+    s4 = ps.block_graph(src, dst, w, n_nodes, block_n=512, chunk_e=1024,
+                        pack=2, split=4)
+    assert s4.meta.block_n >= s1.meta.block_n
+    # the split geometry actually fits its 5 operands in the budget
+    # (logical_bound in the loop upper-bounds the final packed+padded C)
+    assert 4 * 5 * s4.meta.num_chunks <= ps.SMEM_PREFETCH_BUDGET
