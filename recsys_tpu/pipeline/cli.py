@@ -373,6 +373,14 @@ def cmd_eval(cfg: Config, args) -> dict:
     base_pu = metrics["baselines"].pop("_per_user")
     uvecs, uids = collect_user_vectors(cfg, params, uv_fn, data, _mesh(cfg),
                                        bs, rows=rows)
+    # persist the eval-user vectors + trained item matrix so post-hoc
+    # analyses (rerank-eval, blend variants) rerun host-side without
+    # re-touching the chip (sidecar carries the row ids)
+    from recsys_tpu.train.checkpoint import save_array_with_ids
+    save_array_with_ids(p["root"] + "/eval_uvecs", uvecs, list(uids))
+    save_array_with_ids(p["root"] + "/eval_item_matrix",
+                        np.asarray(params["item"]["item_matrix"]),
+                        list(data["item_map"].ids))
     hist = np.concatenate([tens["input_ids"][rows],
                            tens["target_ids"][rows][:, -1:]], 1)
     blend = blend_sweep(uvecs, np.asarray(params["item"]["item_matrix"]),
@@ -523,6 +531,174 @@ def cmd_train_hybrid(cfg: Config, args) -> dict:
     return out
 
 
+def cmd_rerank_eval(cfg: Config, args) -> dict:
+    """Full-recall eval of the PRODUCTION ranking pipeline: candidate
+    union (tower cosine / seen / popularity) -> pair features -> GBDT
+    rerank -> Recall@k, with a leakage-safe inner-split training window
+    (`eval/rerank_eval.py`). The learned-model answer to the repurchase
+    heuristic a cosine retriever cannot encode (reference analogue: the
+    CatBoost ranker it trains but never recall-evaluates,
+    `tower_code/ranker_model_train.py`)."""
+    import jax
+    from recsys_tpu.config import _replace_tree
+    from recsys_tpu.data.etl import time_split
+    from recsys_tpu.eval import rerank_eval as R
+    from recsys_tpu.eval.baselines import popularity_ranking, repurchase_topk
+    from recsys_tpu.eval.recall import (bootstrap_mean_ci, paired_delta_ci,
+                                        recall_at_ks, recall_per_user,
+                                        target_rows)
+    from recsys_tpu.train.checkpoint import (CheckpointStore,
+                                             load_array_with_ids, align_rows)
+    from recsys_tpu.train.reranker import GBDTRanker
+    from recsys_tpu.train.sasrec import (collect_user_vectors,
+                                         init_stage2_params,
+                                         make_stage2_optimizer,
+                                         make_stage2_step, prepare_stage2,
+                                         _slice)
+    from recsys_tpu.train.state import TrainState
+
+    p = _paths(cfg)
+    items, users, tx = _load_world(cfg)
+    data = prepare_stage2(cfg, items, users, tx)
+    item_map = data["item_map"]
+    N1 = len(item_map) + 1
+    ks = sorted(cfg.user_train.eval_ks)
+    k_primary = ks[min(1, len(ks) - 1)]
+    max_k = max(ks)
+
+    # tower restore (identical to cmd_eval)
+    mat, mids, _ = load_array_with_ids(p["item_matrix"])
+    aligned, _ = align_rows(mat[1:], mids[1:], item_map.ids, fill="random")
+    pretrained = np.concatenate([np.zeros((1, mat.shape[1]), np.float32),
+                                 aligned])
+    tens = data["tensors"]
+    n = tens["input_ids"].shape[0]
+    bs = min(cfg.user_train.batch_size, max(n - n % 8, 8))
+    sample_b = _slice(tens, np.arange(min(bs, n)))
+    params, models = init_stage2_params(cfg, N1, pretrained,
+                                        jax.random.PRNGKey(0), sample_b)
+    store = CheckpointStore(p["user_ckpts"], maximize=True)
+    try:
+        tmpl = TrainState.create(params, make_stage2_optimizer(
+            cfg, params, max(n // bs, 1)))
+        restored, _e = store.restore_best(tmpl)
+        params = restored.params
+    except FileNotFoundError:
+        pass
+    item_mat = np.asarray(params["item"]["item_matrix"])
+
+    rows = target_rows(tens["user_ids"], data["targets_idx"])
+    uids = [tens["user_ids"][r] for r in rows]
+    # reuse the vectors cmd_eval persisted when they match this eval set
+    uvecs = None
+    try:
+        arr, aids, _ = load_array_with_ids(p["root"] + "/eval_uvecs")
+        if list(aids) == [str(u) for u in uids]:
+            uvecs = arr
+    except FileNotFoundError:
+        pass
+    if uvecs is None:
+        _, uv_fn = make_stage2_step(cfg, models, data["side"], data["logq"])
+        uvecs, _u = collect_user_vectors(cfg, params, uv_fn, data, _mesh(cfg),
+                                         bs, rows=rows)
+
+    pool_size = int(getattr(args, "pool", None) or 512)
+    m_cos = min(300, N1 - 2)
+    m_pop = min(100, N1 - 2)
+    train_tx, _, split_day = time_split(tx, cfg.data.valid_days)
+    price = np.zeros(N1, np.float32)
+    ifeats = pd.read_parquet(p["item_feats"]).set_index("item_id")
+    for iid, r in zip(item_map.ids, range(1, N1)):
+        if iid in ifeats.index:
+            price[r] = ifeats.loc[iid, "avg_item_price_log"]
+
+    def side_of(window_tx, uid_list, logq, uv, now_day):
+        """Pools + features + histories for one user set / time window."""
+        uid_to_row = {u: r for r, u in enumerate(uid_list)}
+        sub = window_tx[window_tx["user_id"].isin(uid_to_row)]
+        urow = sub["user_id"].map(uid_to_row).to_numpy(np.int64)
+        iidx = np.array([item_map.idx(i) for i in sub["item_id"]], np.int64)
+        day = sub["day"].to_numpy(np.int64)
+        order = np.lexsort((day, urow))
+        urow, iidx, day = urow[order], iidx[order], day[order]
+        hists = [np.empty(0, np.int64) for _ in uid_list]
+        if len(urow):
+            starts = np.flatnonzero(
+                np.concatenate([[True], urow[1:] != urow[:-1]]))
+            bounds = np.append(starts, len(urow))
+            for j, s in enumerate(starts):
+                hists[urow[s]] = iidx[s:bounds[j + 1]]
+        keys, counts, last = R.pair_index(urow, iidx, day, N1)
+        cos_idx = R.cosine_topm(uv, item_mat, m_cos)
+        pop = popularity_ranking(logq, m_pop)
+        pools, flags = R.build_pools(cos_idx, hists, pop, pool_size)
+        feats = R.pool_features(pools, flags, uv, item_mat, logq, keys,
+                                counts, last, now_day, N1, price)
+        return pools, feats, hists
+
+    # ---- inner split: train the ranker strictly inside the train window
+    cfg2 = _replace_tree(cfg, {"data": {"valid_days": cfg.data.valid_days * 2}})
+    data2 = prepare_stage2(cfg2, items, users, tx)
+    split2 = data2["split_day"]
+    lab_tx = tx[(tx["day"] >= split2) & (tx["day"] < split_day)]
+    inner_targets: dict = {}
+    for u, i in zip(lab_tx["user_id"], lab_tx["item_id"]):
+        ii = item_map.idx(i)
+        if ii > 0:
+            inner_targets.setdefault(u, set()).add(ii)
+    tens2 = data2["tensors"]
+    row2_of = {u: r for r, u in enumerate(tens2["user_ids"])}
+    cand = sorted(u for u in inner_targets if u in row2_of)
+    n_sample = int(getattr(args, "sample", None) or 20000)
+    rng = np.random.default_rng(cfg.data.seed)
+    if len(cand) > n_sample:
+        cand = [cand[j] for j in rng.choice(len(cand), n_sample, replace=False)]
+    rows2 = np.array([row2_of[u] for u in cand], np.int64)
+    _, uv_fn2 = make_stage2_step(cfg, models, data2["side"], data2["logq"])
+    bs2 = min(cfg.user_train.batch_size, max(len(rows2) - len(rows2) % 8, 8))
+    uv2, _ = collect_user_vectors(cfg, params, uv_fn2, data2, _mesh(cfg),
+                                  bs2, rows=rows2)
+    inner_tx = tx[tx["day"] < split2]
+    pools2, feats2, _h2 = side_of(inner_tx, cand, data2["logq"], uv2, split2)
+    y2 = np.zeros(pools2.shape, np.float32)
+    for r, u in enumerate(cand):
+        tgt = inner_targets[u]
+        y2[r] = np.isin(pools2[r], list(tgt))
+    keep = pools2.reshape(-1) != 0
+    X = feats2.reshape(-1, feats2.shape[-1])[keep]
+    y = y2.reshape(-1)[keep]
+    ranker = GBDTRanker(iterations=int(getattr(args, "iterations", None)
+                                       or 200)).fit(X, y)
+    ranker.save(p["root"] + "/rerank_gbdt.pkl")
+
+    # ---- real validation week, deployment regime
+    pools, feats, hists = side_of(train_tx, uids, data["logq"], uvecs,
+                                  split_day)
+    topk = R.rerank_topk(ranker, feats, pools, max_k)
+    metrics = recall_at_ks(topk, uids, data["targets_idx"], ks)
+    ceiling = recall_at_ks(pools, uids, data["targets_idx"], [pool_size])
+    # repurchase over the SAME full histories the ranker's features see
+    rep_idx = repurchase_topk(hists, data["logq"], k_primary)
+    rep_vals, rep_uids = recall_per_user(rep_idx, uids, data["targets_idx"],
+                                         k_primary)
+    rr_vals, rr_uids = recall_per_user(topk, uids, data["targets_idx"],
+                                       k_primary)
+    out = {"reranked": metrics,
+           "pool_ceiling": {f"recall@{pool_size}":
+                            ceiling[f"recall@{pool_size}"]},
+           "train_users": len(cand), "pool_size": pool_size,
+           "inner_split_day": int(split2)}
+    if rep_uids == rr_uids:
+        out["significance"] = {
+            "k": k_primary,
+            "reranked": bootstrap_mean_ci(rr_vals),
+            "repurchase_full_hist": bootstrap_mean_ci(rep_vals),
+            "reranked_vs_repurchase": paired_delta_ci(rr_vals, rep_vals)}
+    with open(p["root"] + "/rerank_eval.json", "w") as f:
+        json.dump(out, f, indent=1)
+    return out
+
+
 def cmd_serve(cfg: Config, args) -> dict:
     from recsys_tpu.serve.app import build_app_context, model_vectorizer
     from recsys_tpu.serve.server import make_server
@@ -659,6 +835,7 @@ COMMANDS = {
     "train-reranker": cmd_train_reranker,
     "train-hybrid": cmd_train_hybrid,
     "eval": cmd_eval,
+    "rerank-eval": cmd_rerank_eval,
     "serve": cmd_serve,
     "orchestrate": cmd_orchestrate,
 }
@@ -677,6 +854,12 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=None)
     parser.add_argument("--model-backed", action="store_true", dest="model_backed")
     parser.add_argument("--init-ckpt", default=None, dest="init_ckpt")
+    parser.add_argument("--sample", type=int, default=None,
+                        help="rerank-eval: ranker training-user sample size")
+    parser.add_argument("--pool", type=int, default=None,
+                        help="rerank-eval: candidate pool size per user")
+    parser.add_argument("--iterations", type=int, default=None,
+                        help="GBDT boosting iterations (reranker stages)")
     parser.add_argument("--hm-dir", default=None, dest="hm_dir",
                         help="directory with the H&M Kaggle CSVs (ingest-hm)")
     parser.add_argument("--date-min", default=None, dest="date_min")
