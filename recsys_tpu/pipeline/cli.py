@@ -309,7 +309,7 @@ def cmd_train_reranker(cfg: Config, args) -> dict:
     split = int(0.8 * len(y))
     if split < len(groups):
         split -= int(np.sum(groups[:split] == groups[split]))
-    gbdt = GBDTRanker(iterations=getattr(args, "iterations", 200)).fit(
+    gbdt = GBDTRanker(iterations=getattr(args, "iterations", None) or 200).fit(
         X[:split], y[:split])
     gbdt_auc = gbdt.auc(X[split:], y[split:])
     _, _, predict = train_dcn(cfg, X[:split], y[:split], groups=groups[:split])

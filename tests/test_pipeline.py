@@ -75,6 +75,15 @@ def test_full_pipeline_stages(workdir):
     assert "recall@20" in r and np.isfinite(r["recall@20"])
     saved = json.load(open(f"{workdir}/eval.json"))
     assert saved["n_eval"] > 0
+    # eval persists the user vectors + item matrix for post-hoc analyses
+    assert os.path.exists(f"{workdir}/eval_uvecs.npy")
+
+    r = _run(workdir, "rerank-eval", "--sample", "30", "--pool", "48",
+             "--iterations", "20")
+    assert "recall@20" in r["reranked"]
+    # the pool must bound the reranked recall from above
+    assert r["pool_ceiling"]["recall@48"] >= r["reranked"]["recall@20"] - 1e-9
+    assert "reranked_vs_repurchase" in r.get("significance", {})
 
 
 def test_orchestrate_once_against_server(workdir):
