@@ -239,13 +239,20 @@ def train_lightgcl(cfg: Config, graph: BipartiteGraph, edges_u: np.ndarray,
 def final_embeddings(params, graph: BipartiteGraph, num_layers: int = 2):
     """Post-hoc n-layer propagation of the trained layer-0 tables (the
     export/eval path, reference `compute_final_embeddings`,
-    `v1_evaluate_lightgcl.py:147-179`)."""
+    `v1_evaluate_lightgcl.py:147-179`).
+
+    Uses the edge-chunked propagate: the naive gather materializes an
+    (E, D) message array that OOMs HBM at the H&M graph (54.3M edges ->
+    27.8 GB; the training path streams through the blocked Pallas kernel
+    and never sees this shape)."""
+    from recsys_tpu.ops.graph import propagate_chunked
+
     x0 = jnp.concatenate([jnp.asarray(params["user_emb"]),
                           jnp.asarray(params["item_emb"])]).astype(jnp.float32)
-    src, dst, w = map(jnp.asarray, (graph.src, graph.dst, graph.weight))
     acc, x = x0, x0
     for _ in range(num_layers):
-        x = propagate(x, src, dst, w, graph.num_nodes)
+        x = propagate_chunked(x, graph.src, graph.dst, graph.weight,
+                              graph.num_nodes)
         acc = acc + x
     out = acc / (num_layers + 1)
     return np.asarray(out[: graph.num_users]), np.asarray(out[graph.num_users:])

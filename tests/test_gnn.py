@@ -123,3 +123,24 @@ def test_distillation_folds_magnitude(tiny_graph, tmp_path):
     teach = tu @ ti.T
     corr = np.corrcoef(pred.ravel(), teach.ravel())[0, 1]
     assert corr > 0.8
+
+
+def test_propagate_chunked_matches_naive():
+    """Edge-chunked propagation == single-shot (modulo fp32 sum order);
+    the export path depends on this at graphs whose (E, D) message array
+    exceeds HBM."""
+    import jax.numpy as jnp
+
+    from recsys_tpu.ops.graph import propagate, propagate_chunked
+
+    rng = np.random.default_rng(0)
+    n, e = 200, 5000
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    w = rng.random(e).astype(np.float32)
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+    naive = propagate(jnp.asarray(x), jnp.asarray(src.astype(np.int32)),
+                      jnp.asarray(dst.astype(np.int32)), jnp.asarray(w), n)
+    chunked = propagate_chunked(x, src, dst, w, n, edge_chunk=512)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(naive),
+                               rtol=2e-5, atol=2e-5)
