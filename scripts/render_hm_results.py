@@ -82,6 +82,10 @@ def main():
     hbl = hyb.get("blend", {}).get("best_metrics")
     if hbl:
         rows.append((f"hybrid serving blend ({hyb['blend']['best']})", hbl))
+    rr = _load(root, "rerank") or {}
+    if rr.get("reranked"):
+        rows.append((f"learned reranker (pool {rr.get('pool_size')})",
+                     rr["reranked"]))
 
     ks = [k for k in ("recall@20", "recall@100", "recall@500")
           if any(k in m for _, m in rows)]
@@ -93,12 +97,14 @@ def main():
         print(f"| {name} | {cells} | {_num(m.get('n_eval'))} |")
     print()
 
-    for label, src in [("stage-2 eval", ev), ("hybrid", hyb)]:
+    for label, src in [("stage-2 eval", ev), ("hybrid", hyb),
+                       ("reranker", rr)]:
         sig = src.get("significance")
         if not sig:
             continue
+        rep = sig.get("repurchase") or sig.get("repurchase_full_hist") or {}
         print(f"Paired bootstrap significance ({label}, k={sig['k']}, "
-              f"95% CI, n={_num(sig.get('repurchase', {}).get('n'))}):")
+              f"95% CI, n={_num(rep.get('n'))}):")
         for key, d in sig.items():
             if isinstance(d, dict) and "delta" in d:
                 print(f"  {key}: Δ={_pct(d['delta'])} "
