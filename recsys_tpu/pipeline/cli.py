@@ -566,41 +566,81 @@ def cmd_rerank_eval(cfg: Config, args) -> dict:
     k_primary = ks[min(1, len(ks) - 1)]
     max_k = max(ks)
 
-    # tower restore (identical to cmd_eval)
+    tens = data["tensors"]
+    n = tens["input_ids"].shape[0]
+    bs = min(cfg.user_train.batch_size, max(n - n % 8, 8))
+    vectors = getattr(args, "vectors", None) or "stage2"
     mat, mids, _ = load_array_with_ids(p["item_matrix"])
     aligned, _ = align_rows(mat[1:], mids[1:], item_map.ids, fill="random")
     pretrained = np.concatenate([np.zeros((1, mat.shape[1]), np.float32),
                                  aligned])
-    tens = data["tensors"]
-    n = tens["input_ids"].shape[0]
-    bs = min(cfg.user_train.batch_size, max(n - n % 8, 8))
-    sample_b = _slice(tens, np.arange(min(bs, n)))
-    params, models = init_stage2_params(cfg, N1, pretrained,
-                                        jax.random.PRNGKey(0), sample_b)
-    store = CheckpointStore(p["user_ckpts"], maximize=True)
-    try:
-        tmpl = TrainState.create(params, make_stage2_optimizer(
-            cfg, params, max(n // bs, 1)))
-        restored, _e = store.restore_best(tmpl)
-        params = restored.params
-    except FileNotFoundError:
-        pass
-    item_mat = np.asarray(params["item"]["item_matrix"])
+    if vectors == "hybrid":
+        # pools from the HYBRID tower's vectors (its checkpoint + the GNN
+        # artifacts must exist — i.e. after train-hybrid)
+        import jax.numpy as jnp
+        from recsys_tpu.train import hybrid as H
+        gi, gi_ids, _ = load_array_with_ids(p["gnn_prefix"] + "_items")
+        gnn_items = H.align_gnn_to_catalog(gi, gi_ids, item_map)
+        gu, gu_ids, _ = load_array_with_ids(p["gnn_prefix"] + "_users")
+        h_params, h_uv, h_im = H.restore_hybrid(
+            cfg, data, pretrained, gnn_items, p["root"] + "/ckpt_hybrid")
+        item_mat = np.asarray(jax.jit(h_im)(h_params))
+
+        def collect_vecs(dat, rows_):
+            tns = dat["tensors"]
+            gus = H.align_gnn_users(gu, gu_ids, tns["user_ids"])
+            n_ = len(rows_)
+            bs_ = min(cfg.user_train.batch_size, max(n_ - n_ % 8, 8))
+            vecs, origs = [], []
+            for s in range(0, n_, bs_):
+                idx = np.asarray(rows_[s:min(s + bs_, n_)])
+                origs.append(len(idx))
+                if origs[-1] < bs_:
+                    idx = np.concatenate([idx, np.zeros(bs_ - origs[-1],
+                                                        np.int64)])
+                b = {k: jnp.asarray(v[idx]) for k, v in tns.items()
+                     if k != "user_ids"}
+                vecs.append(h_uv(h_params, b, jnp.asarray(gus[idx])))
+            if not vecs:
+                return np.zeros((0, cfg.user_tower.d_model), np.float32)
+            return np.concatenate([np.asarray(v)[:o]
+                                   for v, o in zip(vecs, origs)])
+    else:
+        # stage-2 tower restore (identical to cmd_eval)
+        sample_b = _slice(tens, np.arange(min(bs, n)))
+        params, models = init_stage2_params(cfg, N1, pretrained,
+                                            jax.random.PRNGKey(0), sample_b)
+        store = CheckpointStore(p["user_ckpts"], maximize=True)
+        try:
+            tmpl = TrainState.create(params, make_stage2_optimizer(
+                cfg, params, max(n // bs, 1)))
+            restored, _e = store.restore_best(tmpl)
+            params = restored.params
+        except FileNotFoundError:
+            pass
+        item_mat = np.asarray(params["item"]["item_matrix"])
+
+        def collect_vecs(dat, rows_):
+            _, uvf = make_stage2_step(cfg, models, dat["side"], dat["logq"])
+            v, _u = collect_user_vectors(cfg, params, uvf, dat, _mesh(cfg),
+                                         min(cfg.user_train.batch_size,
+                                             max(len(rows_) - len(rows_) % 8,
+                                                 8)), rows=np.asarray(rows_))
+            return v
 
     rows = target_rows(tens["user_ids"], data["targets_idx"])
     uids = [tens["user_ids"][r] for r in rows]
-    # reuse the vectors cmd_eval persisted when they match this eval set
     uvecs = None
-    try:
-        arr, aids, _ = load_array_with_ids(p["root"] + "/eval_uvecs")
-        if list(aids) == [str(u) for u in uids]:
-            uvecs = arr
-    except FileNotFoundError:
-        pass
+    if vectors == "stage2":
+        # reuse the vectors cmd_eval persisted when they match this eval set
+        try:
+            arr, aids, _ = load_array_with_ids(p["root"] + "/eval_uvecs")
+            if list(aids) == [str(u) for u in uids]:
+                uvecs = arr
+        except FileNotFoundError:
+            pass
     if uvecs is None:
-        _, uv_fn = make_stage2_step(cfg, models, data["side"], data["logq"])
-        uvecs, _u = collect_user_vectors(cfg, params, uv_fn, data, _mesh(cfg),
-                                         bs, rows=rows)
+        uvecs = collect_vecs(data, rows)
 
     pool_size = int(getattr(args, "pool", None) or 512)
     m_cos = min(300, N1 - 2)
@@ -654,10 +694,7 @@ def cmd_rerank_eval(cfg: Config, args) -> dict:
     if len(cand) > n_sample:
         cand = [cand[j] for j in rng.choice(len(cand), n_sample, replace=False)]
     rows2 = np.array([row2_of[u] for u in cand], np.int64)
-    _, uv_fn2 = make_stage2_step(cfg, models, data2["side"], data2["logq"])
-    bs2 = min(cfg.user_train.batch_size, max(len(rows2) - len(rows2) % 8, 8))
-    uv2, _ = collect_user_vectors(cfg, params, uv_fn2, data2, _mesh(cfg),
-                                  bs2, rows=rows2)
+    uv2 = collect_vecs(data2, rows2)
     inner_tx = tx[tx["day"] < split2]
     pools2, feats2, _h2 = side_of(inner_tx, cand, data2["logq"], uv2, split2)
     y2 = np.zeros(pools2.shape, np.float32)
@@ -669,7 +706,7 @@ def cmd_rerank_eval(cfg: Config, args) -> dict:
     y = y2.reshape(-1)[keep]
     ranker = GBDTRanker(iterations=int(getattr(args, "iterations", None)
                                        or 200)).fit(X, y)
-    ranker.save(p["root"] + "/rerank_gbdt.pkl")
+    ranker.save(p["root"] + f"/rerank_gbdt_{vectors}.pkl")
 
     # ---- real validation week, deployment regime
     pools, feats, hists = side_of(train_tx, uids, data["logq"], uvecs,
@@ -687,14 +724,14 @@ def cmd_rerank_eval(cfg: Config, args) -> dict:
            "pool_ceiling": {f"recall@{pool_size}":
                             ceiling[f"recall@{pool_size}"]},
            "train_users": len(cand), "pool_size": pool_size,
-           "inner_split_day": int(split2)}
+           "vectors": vectors, "inner_split_day": int(split2)}
     if rep_uids == rr_uids:
         out["significance"] = {
             "k": k_primary,
             "reranked": bootstrap_mean_ci(rr_vals),
             "repurchase_full_hist": bootstrap_mean_ci(rep_vals),
             "reranked_vs_repurchase": paired_delta_ci(rr_vals, rep_vals)}
-    with open(p["root"] + "/rerank_eval.json", "w") as f:
+    with open(p["root"] + f"/rerank_eval_{vectors}.json", "w") as f:
         json.dump(out, f, indent=1)
     return out
 
@@ -860,6 +897,8 @@ def main(argv=None):
                         help="rerank-eval: candidate pool size per user")
     parser.add_argument("--iterations", type=int, default=None,
                         help="GBDT boosting iterations (reranker stages)")
+    parser.add_argument("--vectors", default=None, choices=["stage2", "hybrid"],
+                        help="rerank-eval: which tower's vectors build the cosine pool")
     parser.add_argument("--hm-dir", default=None, dest="hm_dir",
                         help="directory with the H&M Kaggle CSVs (ingest-hm)")
     parser.add_argument("--date-min", default=None, dest="date_min")

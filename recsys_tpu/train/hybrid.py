@@ -163,6 +163,40 @@ def train_hybrid(cfg: Config, data: dict, content: np.ndarray,
     return state, history, (model, uv_fn, im_fn)
 
 
+def restore_hybrid(cfg: Config, data: dict, content: np.ndarray,
+                   gnn_items: np.ndarray, workdir: str):
+    """Rebuild the hybrid tower and restore its best checkpoint WITHOUT
+    training — the post-hoc entry (rerank pools, serving exports).
+    Returns (params, uv_fn, im_fn); raises FileNotFoundError if the
+    checkpoint store is empty."""
+    ut = cfg.user_train
+    tensors = data["tensors"]
+    n = tensors["input_ids"].shape[0]
+    bs = min(ut.batch_size, max(n - n % 8, 8))
+    model = HybridUserTower(cfg.user_tower,
+                            num_id_embeddings=len(data["item_map"]) + 1,
+                            gnn_dim=gnn_items.shape[1])
+    key = jax.random.PRNGKey(cfg.data.seed)
+    sample = _slice(tensors, np.arange(min(bs, n)))
+    cv = jnp.zeros((sample["input_ids"].shape[0], cfg.user_tower.max_len,
+                    content.shape[1]))
+    gv = jnp.zeros((sample["input_ids"].shape[0], cfg.user_tower.max_len,
+                    gnn_items.shape[1]))
+    params = jax.jit(model.init)(
+        {"params": key, "dropout": key}, cv, gv,
+        sample["input_ids"], sample["time_buckets"], sample["seq_mask"],
+        jnp.zeros((sample["input_ids"].shape[0], gnn_items.shape[1])),
+        sample["user_buckets"], sample["user_cats"], sample["user_cont"])["params"]
+    tx = optax.chain(optax.clip_by_global_norm(ut.grad_clip),
+                     optax.adamw(ut.lr, weight_decay=ut.weight_decay))
+    state = TrainState.create(params, tx)
+    store = CheckpointStore(workdir, maximize=True)
+    state, _entry = store.restore_best(state)
+    _, uv_fn, im_fn = make_hybrid_step(cfg, model, content, gnn_items,
+                                       data["logq"])
+    return state.params, uv_fn, im_fn
+
+
 def hybrid_eval(cfg: Config, params, uv_fn, im_fn, data, gnn_users, mesh,
                 bs: int) -> dict:
     tensors = data["tensors"]
