@@ -86,6 +86,10 @@ def main():
     if rr.get("reranked"):
         rows.append((f"learned reranker (pool {rr.get('pool_size')})",
                      rr["reranked"]))
+    rrh = _load(root, "rerank_hybrid") or {}
+    if rrh.get("reranked"):
+        rows.append((f"learned reranker, hybrid pools "
+                     f"(pool {rrh.get('pool_size')})", rrh["reranked"]))
 
     ks = [k for k in ("recall@20", "recall@100", "recall@500")
           if any(k in m for _, m in rows)]
@@ -98,7 +102,7 @@ def main():
     print()
 
     for label, src in [("stage-2 eval", ev), ("hybrid", hyb),
-                       ("reranker", rr)]:
+                       ("reranker", rr), ("reranker hybrid-pool", rrh)]:
         sig = src.get("significance")
         if not sig:
             continue
