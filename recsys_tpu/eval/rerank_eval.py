@@ -20,6 +20,16 @@ Protocol (leakage-safe):
 * candidates per user = union(tower cosine top-M, the user's seen items,
   global popularity top-P) — the three serving sources.
 
+Known train/deploy skew (accepted, documented): the ranker's training
+features/candidates come from a tower checkpoint that was itself trained
+through the inner label window [split2, split_day), so the cosine signal
+the ranker learns against is partially memorized relative to deployment,
+where the validation week is unseen by everything. Final reported recall
+is honest (labels never leak), but the ranker's learned feature weights
+are calibrated on a slightly optimistic cosine feature. Re-training the
+pool tower on the inner window would remove the skew at ~1 extra stage-2
+run per eval; measured rerank lift is robust without it.
+
 All pair features come from one sorted-key (user_row * N + item) index
 over the transaction window (searchsorted probes; no Python dicts at
 33M-row scale).
@@ -71,7 +81,8 @@ def pair_lookup(uniq_keys, values, user_rows, items, num_items_pad,
 
 
 def build_pools(cos_idx: np.ndarray, seen_lists: list[np.ndarray],
-                pop_ranking: np.ndarray, pool_size: int) -> np.ndarray:
+                pop_ranking: np.ndarray, pool_size: int
+                ) -> tuple[np.ndarray, np.ndarray]:
     """(U, pool_size) candidate pools: cosine top-M ∪ seen ∪ popularity,
     first-occurrence dedup, PAD(0)-padded. Also returns source flags
     packed as bits: 1=cosine, 2=seen, 4=pop."""
@@ -92,11 +103,12 @@ def build_pools(cos_idx: np.ndarray, seen_lists: list[np.ndarray],
         bits = np.zeros(len(uniq), np.int8)
         inv = np.searchsorted(uniq, cand)
         np.bitwise_or.at(bits, inv, src)
-        # keep first-occurrence order (cosine rank first, then seen, pop)
+        # keep first-occurrence order (cosine rank first, then seen, pop);
+        # drop PAD/non-positive ids BEFORE truncating so a PAD landing in
+        # the first P uniques doesn't silently shrink the pool
         order = np.sort(first)
-        ids = cand[order][:P]
-        keep = ids > 0
-        ids = ids[keep]
+        ids = cand[order]
+        ids = ids[ids > 0][:P]
         pools[r, :len(ids)] = ids
         bits_of = bits[np.searchsorted(uniq, ids)]
         flags[r, :len(ids)] = bits_of

@@ -33,9 +33,16 @@ SETS="--set data.root=$WD --set data.num_items=105000 --set data.num_users=13700
 FAILED=""
 
 run() {  # run <name> <timeout_s> <cmd...>
+  # tmp-then-mv: the stage JSON only exists once the stage SUCCEEDED, so
+  # the [ -s ... ] resume guards can't skip a failed/timed-out stage that
+  # tee'd partial output (ADVICE r3)
   local name=$1 tmo=$2; shift 2
-  timeout "$tmo" python -m recsys_tpu.pipeline.cli "$@" $SETS \
-    | tee "$OUT/$name.json" || FAILED="$FAILED $name"
+  if timeout "$tmo" python -m recsys_tpu.pipeline.cli "$@" $SETS \
+      | tee "$OUT/$name.json.tmp"; then
+    mv "$OUT/$name.json.tmp" "$OUT/$name.json"
+  else
+    rm -f "$OUT/$name.json.tmp"; FAILED="$FAILED $name"
+  fi
 }
 
 [ -s "$OUT/pretrain.json" ] || \
