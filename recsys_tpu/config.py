@@ -281,6 +281,20 @@ class ServeConfig:
     # cosine-score bonus for candidates whose enriched micro-season matches
     # the request/session season (recommend_for_user season re-rank)
     season_bonus: float = 0.05
+    # recommendation recipe served by recommend_for_user (serve/recommend.py;
+    # per-request ?mode= overrides): cosine = ANN top-k; blend = the
+    # popularity+seen blend; rerank = candidate union -> GBDT (the
+    # measured-best system at the H&M shape, artifacts/quality_hm_v4)
+    mode: str = "cosine"           # cosine | blend | rerank
+    blend_alpha: float = 0.1       # measured-best combo at the H&M shape
+    blend_beta: float = 1.0        # (eval.json blend best a0.1_b1.0)
+    rerank_pool: int = 512         # candidate-union pool size
+    rerank_m_cos: int = 300        # cosine arm of the union
+    rerank_m_pop: int = 100        # popularity arm of the union
+    # user-vector backend for model-backed serving: auto = hybrid tower if
+    # its checkpoint+GNN artifacts exist, else stage-2 tower, else
+    # history-mean; or pin one explicitly
+    user_backend: str = "auto"     # auto | history | stage2 | hybrid
 
 
 @dataclass(frozen=True)

@@ -453,6 +453,13 @@ def cmd_train_hybrid(cfg: Config, args) -> dict:
     mesh = _mesh(cfg)
     state, history, (model, uv_fn, im_fn) = H.train_hybrid(
         cfg, data, content, gnn_items, gnn_users, mesh, p["root"] + "/ckpt_hybrid")
+    # persist the adapted item matrix for the serving layer (the retrieval
+    # matrix behind serve.mode=blend/rerank with hybrid vectors)
+    from recsys_tpu.train.checkpoint import save_array_with_ids
+    save_array_with_ids(p["root"] + "/hybrid_item_matrix",
+                        np.asarray(jax.jit(im_fn)(state.params)),
+                        list(data["item_map"].ids),
+                        meta={"source": "train-hybrid best checkpoint"})
 
     # ensemble report: hybrid retrieval vs distilled-GNN retrieval
     import jax.numpy as jnp
@@ -585,6 +592,10 @@ def cmd_rerank_eval(cfg: Config, args) -> dict:
         h_params, h_uv, h_im = H.restore_hybrid(
             cfg, data, pretrained, gnn_items, p["root"] + "/ckpt_hybrid")
         item_mat = np.asarray(jax.jit(h_im)(h_params))
+        from recsys_tpu.train.checkpoint import save_array_with_ids
+        save_array_with_ids(p["root"] + "/hybrid_item_matrix", item_mat,
+                            list(item_map.ids),
+                            meta={"source": "rerank-eval hybrid restore"})
 
         def collect_vecs(dat, rows_):
             tns = dat["tensors"]
@@ -759,37 +770,79 @@ def cmd_serve(cfg: Config, args) -> dict:
             pass
         vec = model_vectorizer(cfg, params)
     ctx = build_app_context(cfg, vec)
+    # serving assets for the blend/rerank recipes (serve/recommend.py);
+    # --vectors picks which campaign matrix/ranker backs them
+    vectors = getattr(args, "vectors", None) or "stage2"
+    try:
+        from recsys_tpu.serve.recommend import load_recommend_assets
+        ctx.rec_assets = load_recommend_assets(cfg, vectors)
+        print(f"serving assets: {vectors} matrix"
+              + (" + rerank GBDT" if ctx.rec_assets.ranker else ""))
+    except FileNotFoundError:
+        print("serving assets: none (blend/rerank modes fall back to cosine)")
     if getattr(args, "model_backed", False):
-        # user-side symmetry: attach the trained SASRec tower as the user
-        # vectorizer when a stage-2 checkpoint exists (falls back to the
-        # history-mean backend otherwise)
-        try:
-            import jax
-            from recsys_tpu.serve.app import tower_user_vectorizer
-            from recsys_tpu.train.checkpoint import CheckpointStore
-            from recsys_tpu.train.sasrec import (
-                _slice, init_stage2_params, make_stage2_optimizer, prepare_stage2)
-            from recsys_tpu.train.state import TrainState
+        # user-side symmetry: attach a trained tower as the user vectorizer
+        # per serve.user_backend — hybrid tower (the measured-best backend)
+        # when its checkpoint + GNN artifacts exist, else the stage-2
+        # SASRec tower, else the history-mean fallback
+        import jax
+        from recsys_tpu.train.checkpoint import (CheckpointStore, align_rows,
+                                                 load_array_with_ids)
+        from recsys_tpu.train.sasrec import (
+            _slice, init_stage2_params, make_stage2_optimizer, prepare_stage2)
+        from recsys_tpu.train.state import TrainState
 
-            items, users, tx = _load_world(cfg)
-            data = prepare_stage2(cfg, items, users, tx)
-            tensors = data["tensors"]
-            n = tensors["input_ids"].shape[0]
-            bs = min(cfg.user_train.batch_size, max(n - n % 8, 8))
-            sample = _slice(tensors, np.arange(min(bs, n)))
-            u_params, _ = init_stage2_params(
-                cfg, len(data["item_map"]) + 1, None, jax.random.PRNGKey(0),
-                sample)
-            tmpl = TrainState.create(u_params, make_stage2_optimizer(
-                cfg, u_params, max(n // bs, 1)))
-            restored, _e = CheckpointStore(p["user_ckpts"], maximize=True) \
-                .restore_best(tmpl)
-            ctx.user_vectorize_fn = tower_user_vectorizer(
-                ctx, cfg, restored.params,
-                ["<pad>"] + list(data["item_map"].ids), data["side"])
-            print("user vectorizer: stage-2 tower (best checkpoint)")
-        except FileNotFoundError:
-            print("user vectorizer: history mean (no stage-2 checkpoint)")
+        items, users, tx = _load_world(cfg)
+        data = prepare_stage2(cfg, items, users, tx)
+        tensors = data["tensors"]
+        n = tensors["input_ids"].shape[0]
+        bs = min(cfg.user_train.batch_size, max(n - n % 8, 8))
+        backend = cfg.serve.user_backend
+        attached = None
+        if backend in ("auto", "hybrid"):
+            try:
+                from recsys_tpu.serve.app import hybrid_user_vectorizer
+                from recsys_tpu.train import hybrid as H
+
+                mat, mids, _ = load_array_with_ids(p["item_matrix"])
+                aligned, _ = align_rows(mat[1:], mids[1:],
+                                        data["item_map"].ids, fill="random")
+                content = np.concatenate(
+                    [np.zeros((1, mat.shape[1]), np.float32), aligned])
+                gi, gi_ids, _ = load_array_with_ids(p["gnn_prefix"] + "_items")
+                gnn_items = H.align_gnn_to_catalog(gi, gi_ids, data["item_map"])
+                gu, gu_ids, _ = load_array_with_ids(p["gnn_prefix"] + "_users")
+                h_params, h_uv, _ = H.restore_hybrid(
+                    cfg, data, content, gnn_items, p["root"] + "/ckpt_hybrid")
+                gnn_user_of = {str(u): gu[r] for r, u in enumerate(gu_ids)}
+                ctx.user_vectorize_fn = hybrid_user_vectorizer(
+                    ctx, cfg, h_params, h_uv,
+                    ["<pad>"] + list(data["item_map"].ids), gnn_user_of,
+                    gnn_dim=gnn_items.shape[1])
+                attached = "hybrid tower (best checkpoint)"
+            except FileNotFoundError:
+                if backend == "hybrid":
+                    raise
+        if attached is None and backend in ("auto", "stage2"):
+            try:
+                from recsys_tpu.serve.app import tower_user_vectorizer
+
+                sample = _slice(tensors, np.arange(min(bs, n)))
+                u_params, _ = init_stage2_params(
+                    cfg, len(data["item_map"]) + 1, None,
+                    jax.random.PRNGKey(0), sample)
+                tmpl = TrainState.create(u_params, make_stage2_optimizer(
+                    cfg, u_params, max(n // bs, 1)))
+                restored, _e = CheckpointStore(p["user_ckpts"], maximize=True) \
+                    .restore_best(tmpl)
+                ctx.user_vectorize_fn = tower_user_vectorizer(
+                    ctx, cfg, restored.params,
+                    ["<pad>"] + list(data["item_map"].ids), data["side"])
+                attached = "stage-2 tower (best checkpoint)"
+            except FileNotFoundError:
+                if backend == "stage2":
+                    raise
+        print(f"user vectorizer: {attached or 'history mean (fallback)'}")
     # store-backed training triggers (the /train/* endpoints)
     from recsys_tpu.serve.train_glue import make_item_trainer, make_user_trainer
     p = _paths(cfg)

@@ -219,6 +219,65 @@ def tower_user_vectorizer(ctx: "AppContext", cfg: Config, params,
     return fn
 
 
+def hybrid_user_vectorizer(ctx: "AppContext", cfg: Config, params, uv_fn,
+                           item_ids: list[str],
+                           gnn_user_of: dict[str, np.ndarray] | None = None,
+                           gnn_dim: int = 64):
+    """Hybrid-tower user vectorizer: store histories -> left-padded
+    sequences + the user's GNN embedding (artifact lookup; zeros for
+    unseen users — the tower's gates degrade that gracefully, exactly the
+    reference's zeroed-GNN-signal behavior `mined_inference.py:672-681`).
+
+    The serving twin of `train/hybrid.make_hybrid_step`'s ``user_vectors``
+    jit — the backend the measured-best recipe (28.81%@100 with hybrid
+    pools) retrieves with. ``item_ids`` is the stage-2 id-map row order
+    (index 0 = PAD); ``uv_fn``/``params`` come from `hybrid.restore_hybrid`.
+    """
+    from recsys_tpu.data.dataset import TIME_BUCKET_EDGES
+
+    utc = cfg.user_tower
+    L = utc.max_len
+    id_of = {str(p): i for i, p in enumerate(item_ids)}
+    gnn_user_of = gnn_user_of or {}
+
+    def fn(profiles: list[dict]) -> np.ndarray:
+        import jax.numpy as jnp
+
+        ids = [p["user_id"] for p in profiles]
+        hists = ctx.store.user_histories(ids)
+        B = _bucket(len(profiles))
+        batch = {
+            "input_ids": np.zeros((B, L), np.int32),
+            "target_ids": np.zeros((B, L), np.int32),
+            "time_buckets": np.zeros((B, L), np.int32),
+            "seq_mask": np.zeros((B, L), np.int32),
+            "user_buckets": np.zeros((B, utc.static_bucket_fields), np.int32),
+            "user_cats": np.zeros((B, utc.static_cat_fields), np.int32),
+            "user_cont": np.zeros((B, utc.static_cont_fields), np.float32),
+        }
+        gnn_u = np.zeros((B, gnn_dim), np.float32)
+        for r, uid in enumerate(ids):
+            gv = gnn_user_of.get(str(uid))
+            if gv is not None:
+                gnn_u[r] = gv
+            events = [e for e in hists.get(uid, [])
+                      if str(e["product_id"]) in id_of][-L:]
+            if not events:
+                continue
+            k = len(events)
+            batch["input_ids"][r, L - k:] = [id_of[str(e["product_id"])]
+                                             for e in events]
+            last_ts = events[-1]["ts"]
+            days = np.array([(last_ts - e["ts"]) / 86400.0 for e in events])
+            batch["time_buckets"][r, L - k:] = np.digitize(
+                days, TIME_BUCKET_EDGES[1:])
+            batch["seq_mask"][r, L - k:] = 1
+        b = {k: jnp.asarray(v) for k, v in batch.items()}
+        return np.asarray(uv_fn(params, b, jnp.asarray(gnn_u)))[: len(profiles)]
+
+    return fn
+
+
 @dataclass
 class AppContext:
     cfg: Config
@@ -228,6 +287,7 @@ class AppContext:
     user_vectorize_fn: Callable[[list[dict]], np.ndarray] | None = None
     train_item_fn: Callable[..., dict] | None = None
     train_user_fn: Callable[..., dict] | None = None
+    rec_assets: object | None = None  # serve/recommend.RecommendAssets
     int_to_pid: dict[int, str] = field(default_factory=dict)
     _bg_threads: list = field(default_factory=list)
 
@@ -314,15 +374,32 @@ class AppContext:
 
     def recommend_for_user(self, user_id: str, top_k: int | None = None,
                            exclude_seen: bool = True,
-                           season: str | None = None) -> dict:
-        """Top-k for a user vector, optionally season-aware.
+                           season: str | None = None,
+                           mode: str | None = None) -> dict:
+        """Top-k recommendations for a user, in the configured serving
+        mode (``serve.mode``; the ``mode`` argument / ``?mode=`` query
+        overrides per request):
 
-        ``season``: "Summer" | "Spring/Autumn" | "Winter" re-ranks the
-        over-provisioned candidate pool with a +serve.season_bonus on items
-        whose enriched micro-season matches; "auto" reads the user's latest
-        session season (the reference stores ``UserSession.season``,
-        `database.py:185`, but never consumes it — this is the live
-        consumer)."""
+        * ``cosine`` — ANN top-k over the index, optionally season-aware
+          (+serve.season_bonus re-rank on matching enriched micro-season;
+          ``season="auto"`` reads the user's latest session season — the
+          reference stores ``UserSession.season``, `database.py:185`, but
+          never consumes it).
+        * ``blend`` / ``rerank`` — the measured-best production recipes
+          (serve/recommend.py); these INCLUDE seen items by design (the
+          seen-item signal is where the measured lift comes from), so
+          ``exclude_seen`` only applies to cosine mode. They need the
+          offline campaign's assets (``rec_assets``) and fall back to
+          cosine — flagged in the response — when those are absent."""
+        mode = mode or self.cfg.serve.mode
+        if mode in ("blend", "rerank"):
+            out = self._recommend_recipe(user_id, mode, top_k)
+            if out is not None:
+                return out
+            fallback = {"requested_mode": mode, "mode": "cosine",
+                        "fallback": "no serving assets loaded"}
+        else:
+            fallback = {}
         vec = self.store.get_user_vector(user_id)
         if vec is None:
             return {"error": f"no vector for user {user_id}", "results": []}
@@ -352,7 +429,40 @@ class AppContext:
         out = {"user_id": user_id, "results": results[:want]}
         if season:
             out["season"] = season
+        out.update(fallback)
         return out
+
+    def _recommend_recipe(self, user_id: str, mode: str,
+                          top_k: int | None) -> dict | None:
+        """Blend / rerank serving via the offline pipeline's own scoring
+        functions (serve/recommend.py). Returns None when the assets (or
+        the rerank ranker) are missing so the caller can fall back."""
+        assets = self.rec_assets
+        if assets is None or (mode == "rerank" and assets.ranker is None):
+            return None
+        from recsys_tpu.serve import recommend as RC
+
+        vec = self.store.get_user_vector(user_id)
+        if vec is None:
+            return {"error": f"no vector for user {user_id}", "results": []}
+        k = top_k or self.cfg.serve.similarity_top_k
+        events = self.store.user_histories([user_id]).get(user_id, [])
+        iidx, days = RC.store_events_arrays(assets, events)
+        if mode == "blend":
+            sc = self.cfg.serve
+            idx = RC.blend_topk(assets, vec[None], [iidx],
+                                sc.blend_alpha, sc.blend_beta, k)
+        else:
+            sc = self.cfg.serve
+            now_day = int(days.max()) + 1 if len(days) else 0
+            idx = RC.rerank_serve_topk(
+                assets, vec[None], [(iidx, days)], now_day, k,
+                pool_size=sc.rerank_pool, m_cos=sc.rerank_m_cos,
+                m_pop=sc.rerank_m_pop)
+        results = [{"product_id": assets.pid_of(int(r)), "rank": j + 1}
+                   for j, r in enumerate(idx[0]) if int(r) != 0]
+        return {"user_id": user_id, "mode": mode,
+                "vectors": assets.vectors, "results": results}
 
     def similar_items(self, item_id: str, top_k: int | None = None) -> dict:
         vec = self.store.get_vector(item_id)

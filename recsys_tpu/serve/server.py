@@ -102,7 +102,8 @@ def _routes(ctx: AppContext):
         return ctx.recommend_for_user(
             params["user_id"], int(params.get("top_k", 0)) or None,
             exclude_seen=params.get("exclude_seen", "1") not in ("0", "false"),
-            season=params.get("season") or None)
+            season=params.get("season") or None,
+            mode=params.get("mode") or None)
 
     return [
         ("GET", re.compile(r"^/$"), health),
