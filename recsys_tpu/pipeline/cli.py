@@ -55,6 +55,7 @@ def _paths(cfg: Config) -> dict:
         "text_pretrain": f"{root}/text_pretrain.npz",
         "gnn_prefix": f"{root}/gnn",
         "distilled": f"{root}/gnn_distilled_items",
+        "distilled_users": f"{root}/gnn_distilled_users",
         "eval": f"{root}/eval.json",
     }
 
@@ -255,13 +256,52 @@ def cmd_distill(cfg: Config, args) -> dict:
     from recsys_tpu.train.checkpoint import load_array_with_ids, save_array_with_ids
     from recsys_tpu.train.gnn import distilled_vectors, train_distill
     p = _paths(cfg)
-    tu, _, _ = load_array_with_ids(p["gnn_prefix"] + "_users")
+    tu, uids, _ = load_array_with_ids(p["gnn_prefix"] + "_users")
     ti, ids, _ = load_array_with_ids(p["gnn_prefix"] + "_items")
     state, model = train_distill(cfg, tu, ti, p["gnn_ckpts"])
     out = distilled_vectors(state, model, ti)
     save_array_with_ids(p["distilled"], out, ids,
                         meta={"space": "gnn_cosine_distilled"})
-    return {"distilled": p["distilled"], "shape": list(out.shape)}
+    # BOTH sides pass through the student (the distill trains user-item
+    # cos * exp(scale) against teacher dot — serving raw users against
+    # distilled items is a pairing it never trained; that mismatch was
+    # round 3's noise-floor GNN ensemble arm, VERDICT r3 weak #2)
+    su = distilled_vectors(state, model, tu)
+    save_array_with_ids(p["distilled_users"], su, uids,
+                        meta={"space": "gnn_cosine_distilled"})
+    from recsys_tpu.eval.gnn_eval import distill_fidelity
+    fid = distill_fidelity(tu, ti, out, su)
+    return {"distilled": p["distilled"], "shape": list(out.shape),
+            "fidelity": fid}
+
+
+def cmd_gnn_eval(cfg: Config, args) -> dict:
+    """GNN standalone retrieval rows (raw dot — the reference's own
+    protocol, `v1_evaluate_lightgcl.py:275-340`) + cosine/distilled
+    variants + teacher-student distillation fidelity (VERDICT r3 item 4).
+    Pure artifact consumer: needs gnn_{users,items} (train-gnn) and
+    optionally gnn_distilled_{items,users} (distill)."""
+    from recsys_tpu.eval.gnn_eval import distill_fidelity, standalone_rows
+    from recsys_tpu.train.checkpoint import load_array_with_ids
+    p = _paths(cfg)
+    gu, gu_ids, _ = load_array_with_ids(p["gnn_prefix"] + "_users")
+    gi, gi_ids, _ = load_array_with_ids(p["gnn_prefix"] + "_items")
+    di = du = None
+    try:
+        di, _, _ = load_array_with_ids(p["distilled"])
+        du, _, _ = load_array_with_ids(p["distilled_users"])
+    except FileNotFoundError:
+        pass
+    with open(p["targets"]) as f:
+        targets = json.load(f)
+    out = standalone_rows(gu, list(gu_ids), gi, list(gi_ids), targets,
+                          ks=cfg.user_train.eval_ks,
+                          distilled_items=di, distilled_users=du)
+    if di is not None:
+        out["fidelity"] = distill_fidelity(gu, gi, di, du)
+    with open(p["root"] + "/gnn_eval.json", "w") as f:
+        json.dump(out, f, indent=1)
+    return out
 
 
 def cmd_train_reranker(cfg: Config, args) -> dict:
@@ -480,13 +520,23 @@ def cmd_train_hybrid(cfg: Config, args) -> dict:
     m = min(1000, len(data["item_map"]))
     seq_model = H.topm_for_model(uvecs, np.asarray(im_fn(state.params)), m,
                                  normalize_items=False)
-    # GNN side: distilled (cosine) vectors if available, raw otherwise
+    # GNN side: distilled (cosine) vectors if available, raw otherwise.
+    # When the distilled items are used, the USER side must be distilled
+    # too — the distill trains student-user x student-item cosine against
+    # teacher dot; raw-user x student-item is an untrained pairing (it
+    # scored at the noise floor in round 3, VERDICT r3 weak #2)
+    du = du_ids = None
     try:
         gd, gd_ids, _ = load_array_with_ids(p["distilled"])
         gnn_mat = H.align_gnn_to_catalog(gd, gd_ids, data["item_map"])
+        try:
+            du, du_ids, _ = load_array_with_ids(p["distilled_users"])
+        except FileNotFoundError:
+            pass
     except FileNotFoundError:
         gnn_mat = gnn_items
-    gu_aligned = H.align_gnn_users(gu, gu_ids, user_ids)
+    gu_aligned = (H.align_gnn_users(du, du_ids, user_ids) if du is not None
+                  else H.align_gnn_users(gu, gu_ids, user_ids))
     # score users against the GNN item space via their GNN embedding
     if gu_aligned.shape[1] != gnn_mat.shape[1]:
         gnn_model = seq_model  # degenerate fallback: dims mismatch
@@ -654,8 +704,8 @@ def cmd_rerank_eval(cfg: Config, args) -> dict:
         uvecs = collect_vecs(data, rows)
 
     pool_size = int(getattr(args, "pool", None) or 512)
-    m_cos = min(300, N1 - 2)
-    m_pop = min(100, N1 - 2)
+    m_cos = min(int(getattr(args, "m_cos", None) or 300), N1 - 2)
+    m_pop = min(int(getattr(args, "m_pop", None) or 100), N1 - 2)
     train_tx, _, split_day = time_split(tx, cfg.data.valid_days)
     price = np.zeros(N1, np.float32)
     ifeats = pd.read_parquet(p["item_feats"]).set_index("item_id")
@@ -712,12 +762,53 @@ def cmd_rerank_eval(cfg: Config, args) -> dict:
     for r, u in enumerate(cand):
         tgt = inner_targets[u]
         y2[r] = np.isin(pools2[r], list(tgt))
-    keep = pools2.reshape(-1) != 0
-    X = feats2.reshape(-1, feats2.shape[-1])[keep]
-    y = y2.reshape(-1)[keep]
+    # user-level 90/10 split: train the rankers on the first 90% of the
+    # inner users, hold the rest out for AUC / importances (pairs from one
+    # user never straddle the split)
+    n_tr = max(int(0.9 * len(cand)), 1)
+
+    def _flat(f, pl, yy):
+        keep = pl.reshape(-1) != 0
+        return (f.reshape(-1, f.shape[-1])[keep], yy.reshape(-1)[keep])
+
+    X, y = _flat(feats2[:n_tr], pools2[:n_tr], y2[:n_tr])
+    X_val, y_val = _flat(feats2[n_tr:], pools2[n_tr:], y2[n_tr:])
     ranker = GBDTRanker(iterations=int(getattr(args, "iterations", None)
                                        or 200)).fit(X, y)
     ranker.save(p["root"] + f"/rerank_gbdt_{vectors}.pkl")
+    from recsys_tpu.train.reranker import auc_score, train_dcn
+    feature_names = ["cos_minmax", "logq_norm", "log1p_count",
+                     "days_since_last", "is_seen", "from_cosine", "price_log"]
+    gbdt_auc = importances = None
+    if len(X_val) and 0 < y_val.sum() < len(y_val):
+        # cap the held-out slice for the permutation passes
+        if len(X_val) > 200_000:
+            sel = np.random.default_rng(0).choice(len(X_val), 200_000,
+                                                  replace=False)
+            X_val, y_val = X_val[sel], y_val[sel]
+        gbdt_auc = round(auc_score(y_val, ranker.predict_proba(X_val)), 4)
+        rngp = np.random.default_rng(1)
+        importances = {}
+        for j, nm in enumerate(feature_names):
+            deltas = []
+            for _ in range(3):
+                Xp = X_val.copy()
+                rngp.shuffle(Xp[:, j])
+                deltas.append(gbdt_auc -
+                              auc_score(y_val, ranker.predict_proba(Xp)))
+            importances[nm] = round(float(np.mean(deltas)), 4)
+    # neural arm (DCN-v2): same features, subsampled train rows + short
+    # schedule (the arm answers "is the learned-ranker story GBDT-only?",
+    # not "what is the best neural ranker")
+    dcn_auc = dcn_scorer = None
+    if len(X_val) and 0 < y_val.sum() < len(y_val):
+        from recsys_tpu.config import _replace_tree as _rt
+        sel = (np.random.default_rng(2).choice(len(X), 2_000_000,
+                                               replace=False)
+               if len(X) > 2_000_000 else np.arange(len(X)))
+        cfg_dcn = _rt(cfg, {"reranker": {"epochs": 3, "loss": "bce"}})
+        _, _, dcn_scorer = train_dcn(cfg_dcn, X[sel], y[sel])
+        dcn_auc = round(auc_score(y_val, dcn_scorer(X_val)), 4)
 
     # ---- real validation week, deployment regime
     pools, feats, hists = side_of(train_tx, uids, data["logq"], uvecs,
@@ -734,8 +825,22 @@ def cmd_rerank_eval(cfg: Config, args) -> dict:
     out = {"reranked": metrics,
            "pool_ceiling": {f"recall@{pool_size}":
                             ceiling[f"recall@{pool_size}"]},
-           "train_users": len(cand), "pool_size": pool_size,
+           # at k >= pool_size the "reranker" is just the candidate
+           # generator — recall@k == pool ceiling by construction
+           # (VERDICT r3 weak #3: label these rows, don't imply ranking)
+           "pool_capped_ks": [k for k in ks if k >= pool_size],
+           "gbdt_auc": gbdt_auc, "dcn_auc": dcn_auc,
+           "gbdt_importances_auc_drop": importances,
+           "pool_arms": {"m_cos": m_cos, "m_pop": m_pop},
+           "train_users": len(cand), "holdout_users": len(cand) - n_tr,
+           "pool_size": pool_size,
            "vectors": vectors, "inner_split_day": int(split2)}
+    if dcn_scorer is not None:
+        class _S:  # rerank_topk expects a .predict_proba
+            predict_proba = staticmethod(dcn_scorer)
+        out["reranked_dcn"] = recall_at_ks(
+            R.rerank_topk(_S, feats, pools, max_k), uids,
+            data["targets_idx"], ks)
     if rep_uids == rr_uids:
         out["significance"] = {
             "k": k_primary,
@@ -921,6 +1026,7 @@ COMMANDS = {
     "vectorize": cmd_vectorize,
     "train-user": cmd_train_user,
     "train-gnn": cmd_train_gnn,
+    "gnn-eval": cmd_gnn_eval,
     "distill": cmd_distill,
     "train-reranker": cmd_train_reranker,
     "train-hybrid": cmd_train_hybrid,
@@ -946,6 +1052,10 @@ def main(argv=None):
     parser.add_argument("--init-ckpt", default=None, dest="init_ckpt")
     parser.add_argument("--sample", type=int, default=None,
                         help="rerank-eval: ranker training-user sample size")
+    parser.add_argument("--m-cos", type=int, default=None, dest="m_cos",
+                        help="rerank-eval: cosine arm size of the pool union")
+    parser.add_argument("--m-pop", type=int, default=None, dest="m_pop",
+                        help="rerank-eval: popularity arm size of the pool union")
     parser.add_argument("--pool", type=int, default=None,
                         help="rerank-eval: candidate pool size per user")
     parser.add_argument("--iterations", type=int, default=None,
