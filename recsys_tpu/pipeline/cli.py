@@ -544,6 +544,29 @@ def cmd_train_hybrid(cfg: Config, args) -> dict:
         gnn_model = H.topm_for_model(gu_aligned, gnn_mat, m, normalize_items=False)
     report = H.ensemble_report(seq_model, gnn_model, user_ids,
                                data["targets_idx"], ks=cfg.user_train.eval_ks)
+    # fuse lists that are ALIVE at this shape (VERDICT r3 item 7): the
+    # hybrid list x the repurchase list and x the content-profile list —
+    # retrievers with real standalone recall on retail-shaped data, unlike
+    # the round-3 GNN arm. Pseudo-scores are -rank (the fusers min-max
+    # normalize over the union, so only the ordering matters).
+    from recsys_tpu.eval.baselines import content_profile_topk, repurchase_topk
+    rows_used0 = rows[: len(uvecs)]
+    hist0 = np.concatenate([tensors["input_ids"][rows_used0],
+                            tensors["target_ids"][rows_used0][:, -1:]], 1)
+    m_alive = seq_model[0].shape[1]
+    rank_scores = -np.tile(np.arange(m_alive, dtype=np.float32),
+                           (len(user_ids), 1))
+    rep_idx = repurchase_topk([hist0[r] for r in range(len(hist0))],
+                              data["logq"], m_alive)
+    report_alive = {
+        "hybrid_x_repurchase": H.ensemble_report(
+            seq_model, (rep_idx, rank_scores), user_ids,
+            data["targets_idx"], ks=cfg.user_train.eval_ks)}
+    cp_idx = content_profile_topk([hist0[r] for r in range(len(hist0))],
+                                  content, m_alive)
+    report_alive["hybrid_x_content"] = H.ensemble_report(
+        seq_model, (cp_idx, rank_scores), user_ids,
+        data["targets_idx"], ks=cfg.user_train.eval_ks)
     # serving blend over the hybrid vectors (popularity prior + seen bonus,
     # same sweep the stage-2 eval runs)
     from recsys_tpu.eval.baselines import blend_sweep, repurchase_topk
@@ -564,7 +587,12 @@ def cmd_train_hybrid(cfg: Config, args) -> dict:
                      "best_metrics": blend["best_metrics"]},
            "ensemble": {k: (v if k.startswith("standalone") else
                             {"best_alpha": v["best_alpha"], "best": v["best"]})
-                        for k, v in report.items()}}
+                        for k, v in report.items()},
+           "ensemble_alive": {
+               arm: {k: (v if k.startswith("standalone") else
+                         {"best_alpha": v["best_alpha"], "best": v["best"]})
+                     for k, v in rep.items()}
+               for arm, rep in report_alive.items()}}
     # THE headline significance test: does the hybrid tower itself (not just
     # the popularity/seen blend) beat the repurchase floor per-user?
     rep_idx = repurchase_topk([hist[r] for r in range(len(hist))],
