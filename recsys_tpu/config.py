@@ -143,6 +143,16 @@ class UserTrainConfig:
     # sweep showed extra passes degrade it monotonically (epoch-1 Recall@100
     # 19.1% → 13.8% by epoch 15 on the 1k-user world vs 35.6% at floor 1).
     hybrid_steps_per_epoch_min: int = 1
+    # hybrid training recipe (VERDICT r3 item 6 — make training HELP):
+    # separate LR (0 = inherit lr), linear warmup, optional cosine decay,
+    # and per-module update scaling (e.g. slow the adapters/encoder that
+    # sit on top of already-strong frozen content+GNN inputs while the
+    # gates/fusion move at full speed)
+    hybrid_lr: float = 0.0
+    hybrid_warmup_steps: int = 0
+    hybrid_lr_decay: str = "const"      # const | cosine
+    hybrid_slow_modules: Sequence[str] = ()   # top-level param groups
+    hybrid_slow_scale: float = 1.0
     # checkpoint cadence: epochs that neither improve Recall@100 nor land on
     # the cadence (nor are the final epoch) skip the state snapshot — at
     # reference scale a full-state save costs ~90 s through the device

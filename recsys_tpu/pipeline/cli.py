@@ -583,6 +583,7 @@ def cmd_train_hybrid(cfg: Config, args) -> dict:
     blend_pu = blend.pop("_per_user")
     out = {"hybrid_best": _best_epoch(history),
            "hybrid_final": history[-1] if history else {},
+           "hybrid_history": history,  # per-epoch curve (recipe experiments)
            "blend": {"best": blend["best"],
                      "best_metrics": blend["best_metrics"]},
            "ensemble": {k: (v if k.startswith("standalone") else

@@ -96,6 +96,32 @@ def make_hybrid_step(cfg: Config, model: HybridUserTower, content: np.ndarray,
     return step, user_vectors, item_matrix
 
 
+def make_hybrid_optimizer(ut, params, total_steps: int):
+    """AdamW with the hybrid training-recipe knobs (VERDICT r3 item 6):
+    optional warmup + cosine decay and per-module update scaling
+    (``hybrid_slow_modules`` top-level param groups move at
+    ``hybrid_slow_scale`` of the base update)."""
+    base_lr = ut.hybrid_lr or ut.lr
+    if ut.hybrid_warmup_steps > 0 or ut.hybrid_lr_decay == "cosine":
+        warmup = min(ut.hybrid_warmup_steps, max(total_steps - 1, 1))
+        if ut.hybrid_lr_decay == "cosine":
+            sched = optax.warmup_cosine_decay_schedule(
+                0.0, base_lr, warmup, max(total_steps, warmup + 1))
+        else:
+            sched = optax.linear_schedule(0.0, base_lr, max(warmup, 1))
+    else:
+        sched = base_lr
+    parts = [optax.clip_by_global_norm(ut.grad_clip),
+             optax.adamw(sched, weight_decay=ut.weight_decay)]
+    slow = set(ut.hybrid_slow_modules)
+    if slow and ut.hybrid_slow_scale != 1.0:
+        def mask(ps):
+            return {k: jax.tree.map(lambda _: k in slow, v)
+                    for k, v in ps.items()}
+        parts.append(optax.masked(optax.scale(ut.hybrid_slow_scale), mask))
+    return optax.chain(*parts)
+
+
 def train_hybrid(cfg: Config, data: dict, content: np.ndarray,
                  gnn_items: np.ndarray, gnn_users: np.ndarray, mesh,
                  workdir: str, writer: MetricWriter | None = None):
@@ -118,8 +144,11 @@ def train_hybrid(cfg: Config, data: dict, content: np.ndarray,
         sample["input_ids"], sample["time_buckets"], sample["seq_mask"],
         jnp.zeros((sample["input_ids"].shape[0], gnn_items.shape[1])),
         sample["user_buckets"], sample["user_cats"], sample["user_cont"])["params"]
-    tx = optax.chain(optax.clip_by_global_norm(ut.grad_clip),
-                     optax.adamw(ut.lr, weight_decay=ut.weight_decay))
+    # small worlds: multiple shuffled passes per epoch (see
+    # UserTrainConfig.hybrid_steps_per_epoch_min)
+    passes = max(1, -(-ut.hybrid_steps_per_epoch_min // max(n // bs, 1)))
+    tx = make_hybrid_optimizer(ut, params,
+                               total_steps=passes * max(n // bs, 1) * ut.epochs)
     state = jax.device_put(TrainState.create(params, tx), replicated(mesh))
     step_fn, uv_fn, im_fn = make_hybrid_step(cfg, model, content, gnn_items,
                                              data["logq"])
@@ -130,9 +159,6 @@ def train_hybrid(cfg: Config, data: dict, content: np.ndarray,
     gstep = 0
     history = []
     best_metric = -float("inf")
-    # small worlds: multiple shuffled passes per epoch (see
-    # UserTrainConfig.hybrid_steps_per_epoch_min)
-    passes = max(1, -(-ut.hybrid_steps_per_epoch_min // max(n // bs, 1)))
     for epoch in range(1, ut.epochs + 1):
         for _pass in range(passes):
             for idx in batch_iterator(n, bs, rng):
@@ -187,8 +213,10 @@ def restore_hybrid(cfg: Config, data: dict, content: np.ndarray,
         sample["input_ids"], sample["time_buckets"], sample["seq_mask"],
         jnp.zeros((sample["input_ids"].shape[0], gnn_items.shape[1])),
         sample["user_buckets"], sample["user_cats"], sample["user_cont"])["params"]
-    tx = optax.chain(optax.clip_by_global_norm(ut.grad_clip),
-                     optax.adamw(ut.lr, weight_decay=ut.weight_decay))
+    bs_steps = max(n // bs, 1)
+    passes = max(1, -(-ut.hybrid_steps_per_epoch_min // bs_steps))
+    tx = make_hybrid_optimizer(ut, params,
+                               total_steps=passes * bs_steps * ut.epochs)
     state = TrainState.create(params, tx)
     store = CheckpointStore(workdir, maximize=True)
     state, _entry = store.restore_best(state)
