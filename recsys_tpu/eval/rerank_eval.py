@@ -115,18 +115,30 @@ def build_pools(cos_idx: np.ndarray, seen_lists: list[np.ndarray],
     return pools, flags
 
 
+NUM_FEATURES = 12
+FEATURE_NAMES = ["cos_minmax", "logq_norm", "log1p_count", "days_since_last",
+                 "is_seen", "from_cosine", "price_log", "pool_pos",
+                 "from_pop", "count_share", "hist_len_log", "user_recency"]
+
+
 def pool_features(pools, flags, uvecs, item_matrix, logq, pair_keys,
                   pair_counts, pair_last, now_day, num_items_pad,
-                  price_log) -> np.ndarray:
-    """(U, P, F) feature tensor. F = 7:
-    [cos_minmax, logq_norm, count, days_since_last/365, is_seen,
-     from_cosine, price_log]."""
+                  price_log, hist_lens=None, user_last_day=None) -> np.ndarray:
+    """(U, P, F) feature tensor, F = NUM_FEATURES (names above).
+
+    The first 7 are the round-3 set; round 4 adds pool-position (a
+    cosine-rank proxy — pools keep cosine-first first-occurrence order),
+    the popularity source flag, the candidate's share of the user's
+    purchases, history length and user recency (chasing the in-pool
+    headroom VERDICT r3 weak #3 measured: ceiling@512 ~6pp above the
+    reranked@100). ``hist_lens``/``user_last_day`` are per-user arrays;
+    absent (older callers) the three user-level features stay zero."""
     U, P = pools.shape
     im = np.asarray(item_matrix, np.float32)
     im = im / np.clip(np.linalg.norm(im, axis=-1, keepdims=True), 1e-12, None)
     uv = np.asarray(uvecs, np.float32)
     uv = uv / np.clip(np.linalg.norm(uv, axis=-1, keepdims=True), 1e-12, None)
-    feats = np.zeros((U, P, 7), np.float32)
+    feats = np.zeros((U, P, NUM_FEATURES), np.float32)
     lqn = np.asarray(logq, np.float32)
     lqn = (lqn - lqn.min()) / max(lqn.max() - lqn.min(), 1e-12)
     rows = np.repeat(np.arange(U, dtype=np.int64), P)
@@ -147,6 +159,16 @@ def pool_features(pools, flags, uvecs, item_matrix, logq, pair_keys,
     feats[:, :, 4] = (cnt > 0).astype(np.float32)
     feats[:, :, 5] = (flags & 1).astype(np.float32)
     feats[:, :, 6] = price_log[pools]
+    feats[:, :, 7] = np.tile(np.arange(P, dtype=np.float32) / P, (U, 1))
+    feats[:, :, 8] = ((flags & 4) > 0).astype(np.float32)
+    if hist_lens is not None:
+        hl = np.asarray(hist_lens, np.float32)
+        feats[:, :, 9] = cnt / np.maximum(hl[:, None], 1.0)
+        feats[:, :, 10] = np.log1p(hl)[:, None]
+    if user_last_day is not None:
+        uld = np.asarray(user_last_day, np.float32)
+        feats[:, :, 11] = np.where(uld[:, None] >= 0,
+                                   (now_day - uld[:, None]) / 365.0, 2.0)
     return feats
 
 

@@ -762,8 +762,13 @@ def cmd_rerank_eval(cfg: Config, args) -> dict:
         cos_idx = R.cosine_topm(uv, item_mat, m_cos)
         pop = popularity_ranking(logq, m_pop)
         pools, flags = R.build_pools(cos_idx, hists, pop, pool_size)
+        hist_lens = np.array([len(h) for h in hists], np.int64)
+        user_last = np.full(len(uid_list), -1, np.int64)
+        if len(urow):
+            np.maximum.at(user_last, urow, day)
         feats = R.pool_features(pools, flags, uv, item_mat, logq, keys,
-                                counts, last, now_day, N1, price)
+                                counts, last, now_day, N1, price,
+                                hist_lens=hist_lens, user_last_day=user_last)
         return pools, feats, hists
 
     # ---- inner split: train the ranker strictly inside the train window
@@ -806,8 +811,7 @@ def cmd_rerank_eval(cfg: Config, args) -> dict:
                                        or 200)).fit(X, y)
     ranker.save(p["root"] + f"/rerank_gbdt_{vectors}.pkl")
     from recsys_tpu.train.reranker import auc_score, train_dcn
-    feature_names = ["cos_minmax", "logq_norm", "log1p_count",
-                     "days_since_last", "is_seen", "from_cosine", "price_log"]
+    feature_names = R.FEATURE_NAMES
     gbdt_auc = importances = None
     if len(X_val) and 0 < y_val.sum() < len(y_val):
         # cap the held-out slice for the permutation passes

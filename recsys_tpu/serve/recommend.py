@@ -172,7 +172,11 @@ def rerank_serve_topk(assets: RecommendAssets, uvecs: np.ndarray,
     pop = popularity_ranking(assets.logq, min(m_pop, N1 - 2))
     hists = [ii for ii, _ in event_arrays]
     pools, flags = R.build_pools(cos_idx, hists, pop, pool_size)
+    hist_lens = np.array([len(ii) for ii, _ in event_arrays], np.int64)
+    user_last = np.array([int(dd.max()) if len(dd) else -1
+                          for _, dd in event_arrays], np.int64)
     feats = R.pool_features(pools, flags, uvecs, assets.item_matrix,
                             assets.logq, keys, counts, last, now_day, N1,
-                            assets.price_log)
+                            assets.price_log, hist_lens=hist_lens,
+                            user_last_day=user_last)
     return R.rerank_topk(assets.ranker, feats, pools, k)

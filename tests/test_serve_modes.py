@@ -33,7 +33,7 @@ def _assets(rng, with_ranker=True):
     price = np.concatenate([[0.0], rng.uniform(0, 3, N)]).astype(np.float32)
     ranker = None
     if with_ranker:
-        X = rng.normal(size=(400, 7)).astype(np.float32)
+        X = rng.normal(size=(400, R.NUM_FEATURES)).astype(np.float32)
         y = (X[:, 0] + 0.5 * X[:, 4] + rng.normal(size=400) > 0).astype(np.float32)
         ranker = GBDTRanker(iterations=20).fit(X, y)
     return RecommendAssets(ids, mat, logq, price, ranker)
@@ -106,7 +106,9 @@ def test_rerank_mode_matches_offline_pipeline(served):
     now_day = int(days.max()) + 1
     feats = R.pool_features(pools, flags, uv, assets.item_matrix, assets.logq,
                             keys, counts, last, now_day, N + 1,
-                            assets.price_log)
+                            assets.price_log,
+                            hist_lens=np.array([len(iidx)]),
+                            user_last_day=np.array([int(days.max())]))
     topk = R.rerank_topk(assets.ranker, feats, pools, 10)
     expect_ids = [assets.pid_of(int(r)) for r in topk[0] if int(r) != 0]
     assert served_ids == expect_ids
