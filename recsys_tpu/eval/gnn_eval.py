@@ -46,6 +46,7 @@ def topk_rows(users: np.ndarray, items: np.ndarray, k: int,
               normalize: bool, batch: int = 4096) -> np.ndarray:
     """(U, k) top-k item indices in PADDED indexing (real item i -> i+1).
     Chunked device scoring; one executable for all full-size chunks."""
+    k = min(k, len(items))  # tiny catalogs: top_k caps at N real items
     im = jnp.asarray(_pad_matrix(items))
     if normalize:
         u = np.asarray(users, np.float32)
@@ -110,6 +111,7 @@ def distill_fidelity(gnn_users: np.ndarray, gnn_items: np.ndarray,
     `distill_mag_to_cos_l2.py:6-108`)."""
     rng = np.random.default_rng(seed)
     n = len(gnn_users)
+    k = min(k, len(gnn_items))
     rows = (rng.choice(n, sample, replace=False) if sample < n
             else np.arange(n))
     tu = np.asarray(gnn_users, np.float32)[rows]
