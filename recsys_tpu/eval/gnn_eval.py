@@ -90,9 +90,12 @@ def standalone_rows(gnn_users: np.ndarray, user_ids: list[str],
     out["gnn_cos"] = recall_at_ks(
         topk_rows(tu, gnn_items, max_k, normalize=True), uids, targets_idx, ks)
     if distilled_items is not None:
-        out["distill_cos_raw_users"] = recall_at_ks(
-            topk_rows(tu, distilled_items, max_k, normalize=True),
-            uids, targets_idx, ks)
+        # the raw-user x distilled-item pairing only type-checks when the
+        # student keeps the teacher's width (distill.out_dim == gnn.emb_dim)
+        if distilled_items.shape[1] == gnn_users.shape[1]:
+            out["distill_cos_raw_users"] = recall_at_ks(
+                topk_rows(tu, distilled_items, max_k, normalize=True),
+                uids, targets_idx, ks)
         if distilled_users is not None:
             su = np.asarray(distilled_users, np.float32)[rows]
             out["distill_cos"] = recall_at_ks(
@@ -123,8 +126,9 @@ def distill_fidelity(gnn_users: np.ndarray, gnn_items: np.ndarray,
                 for t, s in zip(teacher, student_idx)]
         return float(np.mean(hits))
 
-    out["fidelity_raw_users"] = overlap(
-        topk_rows(tu, distilled_items, k, normalize=True))
+    if distilled_items.shape[1] == gnn_users.shape[1]:
+        out["fidelity_raw_users"] = overlap(
+            topk_rows(tu, distilled_items, k, normalize=True))
     if distilled_users is not None:
         su = np.asarray(distilled_users, np.float32)[rows]
         out["fidelity"] = overlap(
