@@ -520,26 +520,48 @@ def cmd_train_hybrid(cfg: Config, args) -> dict:
     m = min(1000, len(data["item_map"]))
     seq_model = H.topm_for_model(uvecs, np.asarray(im_fn(state.params)), m,
                                  normalize_items=False)
-    # GNN side: distilled (cosine) vectors if available, raw otherwise.
-    # When the distilled items are used, the USER side must be distilled
-    # too — the distill trains student-user x student-item cosine against
-    # teacher dot; raw-user x student-item is an untrained pairing (it
-    # scored at the noise floor in round 3, VERDICT r3 weak #2)
+    # GNN arm pairing, EVAL-DRIVEN when gnn-eval ran (gnn_eval.json):
+    # pick the best-measured retrieval row among raw-dot (the reference's
+    # protocol), raw-cosine, and distilled student x student. Rationale:
+    # at the H&M shape the distill failed silently (fidelity 0.034) while
+    # raw cosine retrieved 14.2%@100 — hard-wiring any one pairing ships
+    # the wrong arm on some worlds (VERDICT r3 weak #2).
     du = du_ids = None
+    gd = gd_ids = None
     try:
         gd, gd_ids, _ = load_array_with_ids(p["distilled"])
-        gnn_mat = H.align_gnn_to_catalog(gd, gd_ids, data["item_map"])
-        try:
-            du, du_ids, _ = load_array_with_ids(p["distilled_users"])
-        except FileNotFoundError:
-            pass
+        du, du_ids, _ = load_array_with_ids(p["distilled_users"])
     except FileNotFoundError:
+        pass
+    arm = "distill_cos" if gd is not None else "gnn_dot"
+    try:
+        with open(p["root"] + "/gnn_eval.json") as f:
+            ge = json.load(f)
+        ge_rows = {r: ge[r] for r in ("gnn_dot", "gnn_cos", "distill_cos")
+                   if r in ge}
+        if ge_rows:
+            key = next(k for k in ("recall@100", "recall@20")
+                       if any(k in v for v in ge_rows.values()))
+            arm = max(ge_rows, key=lambda r: ge_rows[r].get(key, 0.0))
+    except FileNotFoundError:
+        pass
+    if arm == "distill_cos" and gd is not None:
+        gnn_mat = H.align_gnn_to_catalog(gd, gd_ids, data["item_map"])
+        gu_aligned = H.align_gnn_users(du, du_ids, user_ids)
+        normalize_arm = True
+    else:
         gnn_mat = gnn_items
-    gu_aligned = (H.align_gnn_users(du, du_ids, user_ids) if du is not None
-                  else H.align_gnn_users(gu, gu_ids, user_ids))
+        gu_aligned = H.align_gnn_users(gu, gu_ids, user_ids)
+        normalize_arm = (arm == "gnn_cos")
+    if normalize_arm:
+        gnn_mat = gnn_mat / np.clip(
+            np.linalg.norm(gnn_mat, axis=-1, keepdims=True), 1e-12, None)
+        gu_aligned = gu_aligned / np.clip(
+            np.linalg.norm(gu_aligned, axis=-1, keepdims=True), 1e-12, None)
     # score users against the GNN item space via their GNN embedding
     if gu_aligned.shape[1] != gnn_mat.shape[1]:
         gnn_model = seq_model  # degenerate fallback: dims mismatch
+        arm = "degenerate_seq"
     else:
         gnn_model = H.topm_for_model(gu_aligned, gnn_mat, m, normalize_items=False)
     report = H.ensemble_report(seq_model, gnn_model, user_ids,
@@ -586,6 +608,7 @@ def cmd_train_hybrid(cfg: Config, args) -> dict:
            "hybrid_history": history,  # per-epoch curve (recipe experiments)
            "blend": {"best": blend["best"],
                      "best_metrics": blend["best_metrics"]},
+           "gnn_arm": arm,  # which GNN pairing the ensemble scored with
            "ensemble": {k: (v if k.startswith("standalone") else
                             {"best_alpha": v["best_alpha"], "best": v["best"]})
                         for k, v in report.items()},
