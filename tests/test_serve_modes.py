@@ -227,3 +227,42 @@ def test_blend_and_rerank_helpers_shapes():
     top = rerank_serve_topk(assets, uv, ev, now_day=31, k=8, pool_size=32,
                             m_cos=10, m_pop=5)
     assert top.shape == (3, 8)
+
+
+def test_load_recommend_assets_roundtrip(tmp_path):
+    """The cmd_serve asset loader: campaign artifacts -> RecommendAssets
+    with correct row alignment, logq from item features, and the ranker."""
+    import pandas as pd
+
+    from recsys_tpu.config import Config, DataConfig
+    from recsys_tpu.data.etl import logq_from_item_features
+    from recsys_tpu.serve.recommend import load_recommend_assets
+    from recsys_tpu.train.checkpoint import save_array_with_ids
+
+    rng = np.random.default_rng(5)
+    root = str(tmp_path)
+    ids = [f"it{i:03d}" for i in range(10)]
+    mat = rng.normal(size=(11, 4)).astype(np.float32)
+    mat[0] = 0
+    save_array_with_ids(f"{root}/eval_item_matrix", mat, ids)
+    feats = pd.DataFrame({
+        "item_id": ids,
+        "raw_probability": np.linspace(0.01, 0.2, 10),
+        "avg_item_price_log": np.linspace(1.0, 2.0, 10)})
+    feats.to_parquet(f"{root}/features_item.parquet")
+    X = rng.normal(size=(60, R.NUM_FEATURES)).astype(np.float32)
+    GBDTRanker(iterations=5).fit(X, (X[:, 0] > 0).astype(np.float32)).save(
+        f"{root}/rerank_gbdt_stage2.pkl")
+
+    cfg = Config(data=DataConfig(root=root))
+    a = load_recommend_assets(cfg, "stage2")
+    assert a.item_ids == ids and a.item_matrix.shape == (11, 4)
+    assert a.ranker is not None and a.vectors == "stage2"
+    np.testing.assert_allclose(
+        a.logq, logq_from_item_features(feats, ids))
+    assert a.price_log[1] == np.float32(1.0) and a.price_log[10] == np.float32(2.0)
+    assert a.idx_of("it003") == 4 and a.pid_of(4) == "it003"
+    assert a.idx_of("nope") == 0 and a.pid_of(0) is None
+    # hybrid variant requires its own matrix artifact
+    with pytest.raises(FileNotFoundError):
+        load_recommend_assets(cfg, "hybrid")
