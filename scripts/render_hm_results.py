@@ -1,8 +1,10 @@
-"""Render the H&M-shape headline table from artifacts/quality_hm/*.json.
+"""Render the H&M-shape headline table from a campaign artifact dir.
 
-Usage: python scripts/render_hm_results.py [artifacts/quality_hm]
-Prints the markdown table embedded in RESULTS.md — every number traceable
-to a committed JSON artifact (VERDICT r1 item 5).
+Usage: python scripts/render_hm_results.py [artifacts/quality_hm_v4]
+Defaults to the round-4 content-realistic campaign; pass
+artifacts/quality_hm for the round-3 plain-world table. Prints the
+markdown table embedded in RESULTS.md — every number traceable to a
+committed JSON artifact (VERDICT r1 item 5).
 """
 
 import json
@@ -36,7 +38,7 @@ def _num(x):
 
 
 def main():
-    root = sys.argv[1] if len(sys.argv) > 1 else "artifacts/quality_hm"
+    root = sys.argv[1] if len(sys.argv) > 1 else "artifacts/quality_hm_v4"
     gen = _load(root, "gen") or {}
     user = _load(root, "user") or {}
     # eval_cpu.json is the tunnel-wedge contingency output (same schema,
@@ -57,7 +59,9 @@ def main():
               f"(random ≈ {64 / max(purity['n_items'], 1):.4f}).")
     print()
     rows = []
-    base = ev.get("baselines", {})
+    # the floors live inside eval.json once the full grid has run; the
+    # standalone baselines.json (decoupled stage) covers them before that
+    base = ev.get("baselines", {}) or (_load(root, "baselines") or {})
     for name, key in [("popularity", "popularity"),
                       ("repurchase", "repurchase"),
                       ("content-profile", "content_profile"),
@@ -72,7 +76,10 @@ def main():
         rows.append(("SASRec stage-2 (best ckpt)", user["best"]))
     eb = hyb.get("ensemble", {})
     if "standalone_b" in eb:
-        rows.append(("GNN standalone (distilled)", eb["standalone_b"]))
+        # the hybrid stage records which GNN pairing its ensemble arm used
+        # (gnn_cos / distilled / ... — selected by the measured gnn_eval rows)
+        arm = hyb.get("gnn_arm", "distilled")
+        rows.append((f"GNN standalone ({arm})", eb["standalone_b"]))
     hb = hyb.get("hybrid_best")
     if hb:
         rows.append(("hybrid tower (best ckpt)", hb))
