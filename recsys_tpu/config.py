@@ -301,6 +301,12 @@ class ServeConfig:
     rerank_pool: int = 512         # candidate-union pool size
     rerank_m_cos: int = 300        # cosine arm of the union
     rerank_m_pop: int = 100        # popularity arm of the union
+    # blend-mode scoring backend: host numpy (per-request O(U*N) scan) or
+    # the fused device kernel (item matrix + popularity prior resident on
+    # device across requests, serve/recommend.blend_topk backend='device');
+    # auto = device when an accelerator backend is already up, else host.
+    # Host-vs-device list equality proven in tests/test_serve_modes.py.
+    blend_backend: str = "auto"    # auto | host | device
     # user-vector backend for model-backed serving: auto = hybrid tower if
     # its checkpoint+GNN artifacts exist, else stage-2 tower, else
     # history-mean; or pin one explicitly

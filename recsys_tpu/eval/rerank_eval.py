@@ -123,7 +123,8 @@ FEATURE_NAMES = ["cos_minmax", "logq_norm", "log1p_count", "days_since_last",
 
 def pool_features(pools, flags, uvecs, item_matrix, logq, pair_keys,
                   pair_counts, pair_last, now_day, num_items_pad,
-                  price_log, hist_lens=None, user_last_day=None) -> np.ndarray:
+                  price_log, hist_lens=None, user_last_day=None,
+                  items_prenormalized: bool = False) -> np.ndarray:
     """(U, P, F) feature tensor, F = NUM_FEATURES (names above).
 
     The first 7 are the round-3 set; round 4 adds pool-position (a
@@ -135,7 +136,9 @@ def pool_features(pools, flags, uvecs, item_matrix, logq, pair_keys,
     absent (older callers) the three user-level features stay zero."""
     U, P = pools.shape
     im = np.asarray(item_matrix, np.float32)
-    im = im / np.clip(np.linalg.norm(im, axis=-1, keepdims=True), 1e-12, None)
+    if not items_prenormalized:  # serving passes the cached normed matrix
+        im = im / np.clip(np.linalg.norm(im, axis=-1, keepdims=True),
+                          1e-12, None)
     uv = np.asarray(uvecs, np.float32)
     uv = uv / np.clip(np.linalg.norm(uv, axis=-1, keepdims=True), 1e-12, None)
     feats = np.zeros((U, P, NUM_FEATURES), np.float32)
@@ -193,12 +196,16 @@ def rerank_topk(model, feats, pools, k, batch_rows: int = 8192) -> np.ndarray:
 
 
 def cosine_topm(uvecs: np.ndarray, item_matrix: np.ndarray, m: int,
-                device: bool | None = None) -> np.ndarray:
+                device: bool | None = None,
+                prenormalized: bool = False) -> np.ndarray:
     """Full-catalog cosine top-M candidate generation (device-backed when
     an accelerator is present — the (218k, 105k) score matrix is chip
     work; host fallback is chunked)."""
-    im = np.asarray(item_matrix, np.float32).copy()
-    im /= np.clip(np.linalg.norm(im, axis=-1, keepdims=True), 1e-12, None)
+    if prenormalized:
+        im = np.asarray(item_matrix, np.float32)
+    else:
+        im = np.asarray(item_matrix, np.float32).copy()
+        im /= np.clip(np.linalg.norm(im, axis=-1, keepdims=True), 1e-12, None)
     if device is None:
         import jax
 

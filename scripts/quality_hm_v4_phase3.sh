@@ -67,7 +67,20 @@ fi
 # ---- stage-2 long run, bounded by the session deadline
 TMO=$(( DEADLINE - $(date +%s) ))
 [ "$TMO" -gt 600 ] || { log "no time left for stage-2"; exit 1; }
-run user "$TMO" train-user --set user_train.epochs=25 \
-  --set user_train.ckpt_every=5 || log "user stage hit the deadline (curve is in metrics.jsonl)"
+log "start user (timeout ${TMO}s)"  # start sentinel phase4 waits on
+if timeout "$TMO" python -m recsys_tpu.pipeline.cli train-user \
+    --set user_train.epochs=25 --set user_train.ckpt_every=5 $SETS \
+    2> >(tail -60 > "$OUT/user.stderr") > "$OUT/user.rerun.json.tmp"; then
+  mv "$OUT/user.rerun.json.tmp" "$OUT/user.rerun.json"; log "done user"
+else
+  rc=$?; rm -f "$OUT/user.rerun.json.tmp"
+  if [ "$rc" -eq 124 ]; then
+    # only a timeout(1) kill is a planned deadline stop; anything else
+    # (crash/OOM/tunnel wedge) must read as a real failure (ADVICE r4)
+    log "user stage hit the deadline (curve is in metrics.jsonl)"
+  else
+    log "FAILED user (exit $rc)"; wait; exit 1
+  fi
+fi
 wait
 log phase3-exit

@@ -11,10 +11,17 @@ WD=$OUT/world
 STOP=${1:?stop epoch seconds}
 SETS="--set data.root=$WD --set data.num_items=105000 --set data.num_users=1370000 \
  --set data.days=365 --set data.repeat_prob=0.10 --set data.name_style_words=2"
-log() { echo "[$(date +%T)] $*" >> "$OUT/phase3.log"; }
+log() { echo "[$(date +%T)] $*" >> "$OUT/phase4.log"; }
 
 # wait for the stage-2 long run to finish (deadline kill also counts —
-# the best checkpoint is on disk either way)
+# the best checkpoint is on disk either way). First wait for phase3's
+# explicit start sentinel so a pgrep miss before the stage even launches
+# can't send eval at a stale checkpoint (ADVICE r4).
+for i in $(seq 1 720); do
+  grep -q "start user" "$OUT/phase3.log" 2>/dev/null && break
+  [ -s "$OUT/user.rerun.json" ] && break
+  sleep 10
+done
 for i in $(seq 1 1000); do
   [ -s "$OUT/user.rerun.json" ] && break
   pgrep -f "cli train-user" > /dev/null 2>&1 || break

@@ -266,3 +266,68 @@ def test_load_recommend_assets_roundtrip(tmp_path):
     # hybrid variant requires its own matrix artifact
     with pytest.raises(FileNotFoundError):
         load_recommend_assets(cfg, "hybrid")
+
+
+def test_blend_topk_host_vs_device_equality():
+    """VERDICT r4 item 3: the fused device blend kernel must return the
+    SAME list as the host numpy scoring (same normalize/minmax/seen/PAD
+    semantics; HIGHEST-precision matmul keeps rankings aligned)."""
+    rng = np.random.default_rng(7)
+    assets = _assets(rng, with_ranker=False)
+    uv = rng.normal(size=(4, D)).astype(np.float32)
+    hists = [np.array([1, 2, 3]), np.array([], np.int64),
+             np.array([5, 5, 9, 11, 2, 7, 30, 31, 32]), np.array([N])]
+    for alpha, beta, k in ((0.1, 1.0, 8), (0.0, 0.0, 5), (0.9, 0.3, 16)):
+        host = blend_topk(assets, uv, hists, alpha, beta, k, backend="host")
+        dev = blend_topk(assets, uv, hists, alpha, beta, k, backend="device")
+        np.testing.assert_array_equal(host, dev)
+
+
+def test_blend_topk_cached_assets_match_fresh():
+    """The request-invariant caches (items_norm/pop_norm/pop_ranking) must
+    reproduce exactly what round 4 recomputed per request."""
+    rng = np.random.default_rng(8)
+    assets = _assets(rng, with_ranker=False)
+    m = np.array(assets.item_matrix, np.float32)
+    m /= np.clip(np.linalg.norm(m, axis=-1, keepdims=True), 1e-12, None)
+    np.testing.assert_allclose(assets.items_norm, m)
+    lq = np.asarray(assets.logq, np.float64)
+    pop = ((lq - lq.min()) / (lq.max() - lq.min())).astype(np.float32)
+    np.testing.assert_allclose(assets.pop_norm, pop)
+    from recsys_tpu.eval.baselines import popularity_ranking
+
+    np.testing.assert_array_equal(assets.pop_ranking(10),
+                                  popularity_ranking(assets.logq, 10))
+    # second call returns the cached object, not a recompute
+    assert assets.items_norm is assets.items_norm
+
+
+def test_rerank_serve_topk_prenormalized_matches_r4_path():
+    """The cached-asset rerank path (prenormalized matrix + cached pop
+    ranking) must return the same list as scoring from raw artifacts."""
+    rng = np.random.default_rng(9)
+    assets = _assets(rng)
+    uv = rng.normal(size=(2, D)).astype(np.float32)
+    ev = [(np.array([1, 2]), np.array([10, 20])),
+          (np.array([5]), np.array([30]))]
+    top = rerank_serve_topk(assets, uv, ev, now_day=31, k=8, pool_size=32,
+                            m_cos=10, m_pop=5)
+    # r4 semantics, recomputed from raw artifacts without the caches
+    from recsys_tpu.eval.baselines import popularity_ranking
+
+    N1 = assets.item_matrix.shape[0]
+    urow = np.concatenate([np.full(len(ii), r, np.int64)
+                           for r, (ii, _) in enumerate(ev)])
+    iidx = np.concatenate([ii for ii, _ in ev])
+    days = np.concatenate([dd for _, dd in ev])
+    keys, counts, last = R.pair_index(urow, iidx, days, N1)
+    cos_idx = R.cosine_topm(uv, assets.item_matrix, 10, device=False)
+    pop = popularity_ranking(assets.logq, 5)
+    pools, flags = R.build_pools(cos_idx, [ii for ii, _ in ev], pop, 32)
+    feats = R.pool_features(pools, flags, uv, assets.item_matrix,
+                            assets.logq, keys, counts, last, 31, N1,
+                            assets.price_log,
+                            hist_lens=np.array([2, 1], np.int64),
+                            user_last_day=np.array([20, 30], np.int64))
+    expect = R.rerank_topk(assets.ranker, feats, pools, 8)
+    np.testing.assert_array_equal(top, expect)
