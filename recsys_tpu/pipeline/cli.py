@@ -304,6 +304,131 @@ def cmd_gnn_eval(cfg: Config, args) -> dict:
     return out
 
 
+def cmd_ensemble_eval(cfg: Config, args) -> dict:
+    """Fuse the two alive LEARNED retrievers at shape: the stage-2 tower
+    (the ``eval_uvecs``/``eval_item_matrix`` sidecars `cmd_eval` persists)
+    x the GNN (train-gnn artifacts, arm chosen by the measured
+    gnn_eval.json rows), plus a three-arm variant that fuses the best
+    two-arm list with the repurchase baseline. VERDICT r4 next-round
+    item 4 — round 4 only ever fused hybrid x {gnn,repurchase,content};
+    the architecturally interesting pairing (two learned retrievers with
+    disjoint signal) was unmeasured. Reference analogue: the seq x GNN
+    ensemble suite, `tower_code/mined_inference.py:797-1448`.
+
+    Pure artifact consumer — no training, no tower forward: histories
+    come from features_sequence.parquet, targets from targets_val.json.
+    """
+    from recsys_tpu.data.dataset import IdMap
+    from recsys_tpu.data.etl import logq_from_item_features
+    from recsys_tpu.eval.baselines import repurchase_topk
+    from recsys_tpu.train import hybrid as H
+    from recsys_tpu.train.checkpoint import load_array_with_ids
+    import pandas as pd
+    p = _paths(cfg)
+    uvecs, uids, _ = load_array_with_ids(p["root"] + "/eval_uvecs")
+    imat, iids, _ = load_array_with_ids(p["root"] + "/eval_item_matrix")
+    item_map = IdMap([i for i in iids if i != "<pad>"])
+    uids = [str(u) for u in uids]
+
+    # -- GNN arm: eval-driven selection (same rule as cmd_train_hybrid) --
+    gu, gu_ids, _ = load_array_with_ids(p["gnn_prefix"] + "_users")
+    gi, gi_ids, _ = load_array_with_ids(p["gnn_prefix"] + "_items")
+    gd = gd_ids = du = du_ids = None
+    try:
+        gd, gd_ids, _ = load_array_with_ids(p["distilled"])
+        du, du_ids, _ = load_array_with_ids(p["distilled_users"])
+    except FileNotFoundError:
+        pass
+    arm = "distill_cos" if gd is not None else "gnn_dot"
+    try:
+        with open(p["root"] + "/gnn_eval.json") as f:
+            ge = json.load(f)
+        ge_rows = {r: ge[r] for r in ("gnn_dot", "gnn_cos", "distill_cos")
+                   if r in ge}
+        if ge_rows:
+            key = next(k for k in ("recall@100", "recall@20")
+                       if any(k in v for v in ge_rows.values()))
+            arm = max(ge_rows, key=lambda r: ge_rows[r].get(key, 0.0))
+    except FileNotFoundError:
+        pass
+    if arm == "distill_cos" and gd is not None:
+        gnn_mat = H.align_gnn_to_catalog(gd, gd_ids, item_map)
+        gu_aligned = H.align_gnn_users(du, du_ids, uids)
+        normalize_arm = True
+    else:
+        gnn_mat = H.align_gnn_to_catalog(gi, gi_ids, item_map)
+        gu_aligned = H.align_gnn_users(gu, gu_ids, uids)
+        normalize_arm = (arm == "gnn_cos")
+    if normalize_arm:
+        gnn_mat = gnn_mat / np.clip(
+            np.linalg.norm(gnn_mat, axis=-1, keepdims=True), 1e-12, None)
+        gu_aligned = gu_aligned / np.clip(
+            np.linalg.norm(gu_aligned, axis=-1, keepdims=True), 1e-12, None)
+
+    # -- targets + histories from world artifacts ------------------------
+    with open(p["targets"]) as f:
+        targets = json.load(f)
+    targets_idx = {u: {item_map.idx(i) for i in its} - {0}
+                   for u, its in targets.items()}
+    seqs = pd.read_parquet(f"{cfg.data.root}/features_sequence.parquet")
+    seq_of = dict(zip(seqs["user_id"].astype(str), seqs["sequence"]))
+    hists = [item_map.idx_array(seq_of.get(u, ())) for u in uids]
+    feats = pd.read_parquet(f"{cfg.data.root}/features_item.parquet")
+    logq = logq_from_item_features(feats, item_map.ids)
+
+    # -- the three arms as (idx, scores) top-m models --------------------
+    m = int(getattr(args, "pool", 0) or 1000)
+    m = min(m, len(item_map))  # tiny catalogs: pool capped at catalog size
+    mesh = _mesh(cfg)
+    # stage-2 protocol: normalized items (cosine-on-catalog, the eval path)
+    stage2 = H.topm_for_model(uvecs, imat, m, mesh=mesh, normalize_items=True)
+    if gu_aligned.shape[1] != gnn_mat.shape[1]:
+        raise SystemExit(f"gnn arm {arm}: user dim {gu_aligned.shape[1]} != "
+                         f"item dim {gnn_mat.shape[1]}")
+    gnn_model = H.topm_for_model(gu_aligned, gnn_mat, m, mesh=mesh,
+                                 normalize_items=False)
+    ks = cfg.user_train.eval_ks
+    report = H.ensemble_report(stage2, gnn_model, uids, targets_idx, ks=ks)
+    out = {"gnn_arm": arm, "m": m, "n_users": len(uids),
+           "stage2_x_gnn": {k: (v if k.startswith("standalone") else
+                                {"best_alpha": v["best_alpha"],
+                                 "best": v["best"], "table": {
+                                     str(a): r for a, r in v["table"].items()}})
+                            for k, v in report.items()}}
+
+    # -- three-arm: best fused list x repurchase -------------------------
+    from recsys_tpu.eval.ensemble import count_mix_ensemble, rrf_ensemble, weighted_score_ensemble
+    key = f"recall@{sorted(ks)[min(1, len(ks) - 1)]}"
+    best_method = max(("count_mix", "weighted", "rrf"),
+                      key=lambda mth: report[mth]["best"][key])
+    ba = report[best_method]["best_alpha"]
+    if best_method == "count_mix":
+        fused = count_mix_ensemble(stage2[0], gnn_model[0], m, ba)
+    elif best_method == "weighted":
+        fused = weighted_score_ensemble(*stage2, *gnn_model, m, ba)
+    else:
+        fused = rrf_ensemble(stage2[0], gnn_model[0], m)
+    rank_scores = -np.tile(np.arange(m, dtype=np.float32), (len(uids), 1))
+    rep_idx = repurchase_topk(hists, logq, m)
+    out["fused_x_repurchase"] = {
+        "fused_from": {"method": best_method, "alpha": ba},
+        **{k: (v if k.startswith("standalone") else
+               {"best_alpha": v["best_alpha"], "best": v["best"]})
+           for k, v in H.ensemble_report(
+               (fused, rank_scores), (rep_idx, rank_scores),
+               uids, targets_idx, ks=ks).items()}}
+    # stage-2 x repurchase two-arm for the like-for-like comparison row
+    out["stage2_x_repurchase"] = {
+        k: (v if k.startswith("standalone") else
+            {"best_alpha": v["best_alpha"], "best": v["best"]})
+        for k, v in H.ensemble_report(
+            stage2, (rep_idx, rank_scores), uids, targets_idx,
+            ks=ks).items()}
+    with open(p["root"] + "/ensemble_eval.json", "w") as f:
+        json.dump(out, f, indent=1, default=str)
+    return out
+
+
 def cmd_train_reranker(cfg: Config, args) -> dict:
     from recsys_tpu.data.dataset import IdMap
     from recsys_tpu.data.etl import time_split
@@ -1083,6 +1208,7 @@ COMMANDS = {
     "train-user": cmd_train_user,
     "train-gnn": cmd_train_gnn,
     "gnn-eval": cmd_gnn_eval,
+    "ensemble-eval": cmd_ensemble_eval,
     "distill": cmd_distill,
     "train-reranker": cmd_train_reranker,
     "train-hybrid": cmd_train_hybrid,
