@@ -242,6 +242,15 @@ class DistillConfig:
     epochs: int = 10
     steps_per_epoch: int = 50      # random (user, item) batch pairs per epoch
     batch_size: int = 4096
+    # Teacher-top-k hard-pair mining: draw this fraction of each item
+    # batch from the union of the user batch's teacher top-``hard_k``
+    # items (rest stays uniform). Uniform item sampling covers ~82% of a
+    # 5k catalog per 4096-item batch but ~4% of a 105k one, so the MSE
+    # carries almost no top-of-ranking signal at shape — the measured
+    # fidelity collapse 0.90 -> 0.034 (VERDICT r4 weak #1). 0 = off
+    # (round-4 behavior).
+    hard_frac: float = 0.0
+    hard_k: int = 100
 
 
 @dataclass(frozen=True)

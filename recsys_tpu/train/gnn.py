@@ -307,11 +307,31 @@ def train_distill(cfg: Config, teacher_users: np.ndarray, teacher_items: np.ndar
     writer = writer or MetricWriter(f"{workdir}/metrics.jsonl", "distill")
     rng = np.random.default_rng(0)
     bs = min(d.batch_size, len(teacher_users), len(teacher_items))
+    # teacher-top-k hard-pair mining (cfg.distill.hard_frac): without it
+    # the item batch is uniform over the catalog, so at 105k items the
+    # pairs that decide top-100 ordering are ~0.1% of the MSE mass and
+    # the student never learns the tail — the fidelity-collapse mechanism
+    n_hard = int(bs * min(max(d.hard_frac, 0.0), 1.0))
+    if n_hard:
+        mine_k = min(d.hard_k, ti.shape[0])
+
+        @jax.jit
+        def mine(uu):
+            _, idx = jax.lax.top_k(uu @ ti.T, mine_k)
+            return idx
+
     for epoch in range(1, d.epochs + 1):
         tot = 0.0
         for _ in range(max(d.steps_per_epoch, 1)):
             uu = tu[rng.integers(0, len(teacher_users), bs)]
-            ii = ti[rng.integers(0, len(teacher_items), bs)]
+            if n_hard:
+                pool = np.unique(np.asarray(mine(uu)))
+                rows = np.concatenate([
+                    pool[rng.integers(0, len(pool), n_hard)],
+                    rng.integers(0, len(teacher_items), bs - n_hard)])
+                ii = ti[rows]
+            else:
+                ii = ti[rng.integers(0, len(teacher_items), bs)]
             state, loss = step(state, uu, ii)
             tot += float(loss)
         writer.write("epoch", epoch, loss=tot / max(d.steps_per_epoch, 1))

@@ -144,3 +144,29 @@ def test_propagate_chunked_matches_naive():
     chunked = propagate_chunked(x, src, dst, w, n, edge_chunk=512)
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(naive),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_distill_hard_mining_path(tmp_path):
+    """cfg.distill.hard_frac > 0 mines the item batch from the user
+    batch's teacher top-k (the fidelity-collapse fix arm,
+    scripts/distill_scale_sweep.py); the trained student must still fold
+    magnitude into angles."""
+    import dataclasses
+
+    from recsys_tpu.config import DistillConfig
+
+    rng = np.random.default_rng(4)
+    tu = rng.normal(size=(50, 16)).astype(np.float32)
+    ti = rng.normal(size=(40, 16)).astype(np.float32)
+    ti[:5] *= 4.0
+    cfg = dataclasses.replace(CFG, distill=DistillConfig(
+        hidden_dim=64, out_dim=16, epochs=300, batch_size=32,
+        steps_per_epoch=1, hard_frac=0.5, hard_k=8))
+    state, model = G.train_distill(cfg, tu, ti, str(tmp_path))
+    si = G.distilled_vectors(state, model, ti)
+    su = G.distilled_vectors(state, model, tu)
+    np.testing.assert_allclose(np.linalg.norm(si, axis=1), 1.0, rtol=1e-4)
+    scale = float(np.asarray(state.params["logit_scale"]))
+    pred = (su @ si.T) * np.exp(scale)
+    corr = np.corrcoef(pred.ravel(), (tu @ ti.T).ravel())[0, 1]
+    assert corr > 0.6
