@@ -115,16 +115,18 @@ def build_pools(cos_idx: np.ndarray, seen_lists: list[np.ndarray],
     return pools, flags
 
 
-NUM_FEATURES = 12
+NUM_FEATURES = 16
 FEATURE_NAMES = ["cos_minmax", "logq_norm", "log1p_count", "days_since_last",
                  "is_seen", "from_cosine", "price_log", "pool_pos",
-                 "from_pop", "count_share", "hist_len_log", "user_recency"]
+                 "from_pop", "count_share", "hist_len_log", "user_recency",
+                 "cos_raw", "ui_max", "ui_std", "price_diff"]
 
 
 def pool_features(pools, flags, uvecs, item_matrix, logq, pair_keys,
                   pair_counts, pair_last, now_day, num_items_pad,
                   price_log, hist_lens=None, user_last_day=None,
-                  items_prenormalized: bool = False) -> np.ndarray:
+                  items_prenormalized: bool = False,
+                  user_price=None) -> np.ndarray:
     """(U, P, F) feature tensor, F = NUM_FEATURES (names above).
 
     The first 7 are the round-3 set; round 4 adds pool-position (a
@@ -133,7 +135,17 @@ def pool_features(pools, flags, uvecs, item_matrix, logq, pair_keys,
     purchases, history length and user recency (chasing the in-pool
     headroom VERDICT r3 weak #3 measured: ceiling@512 ~6pp above the
     reranked@100). ``hist_lens``/``user_last_day`` are per-user arrays;
-    absent (older callers) the three user-level features stay zero."""
+    absent (older callers) the three user-level features stay zero.
+
+    Round 5 (VERDICT r4 item 2: the GBDT leaned on pool_pos while pair
+    features stayed thin) adds the reference FeatureEngineer's u*i
+    interaction stats (`temp_model/ranker_skelet.py:13-89`): raw cosine
+    (absolute calibration the per-user minmax destroys), elementwise
+    u⊙i max and std (for L2-normalized vectors u⊙i SUMS to the cosine,
+    so the mean is redundant — max/std carry the extra signal; std comes
+    from one squared-matrices einsum, no (U,P,D) materialization), and
+    the price gap |item price − user's mean history price| when
+    ``user_price`` (per-user mean price_log) is given."""
     U, P = pools.shape
     im = np.asarray(item_matrix, np.float32)
     if not items_prenormalized:  # serving passes the cached normed matrix
@@ -149,13 +161,22 @@ def pool_features(pools, flags, uvecs, item_matrix, logq, pair_keys,
                       num_items_pad).reshape(U, P)
     last = pair_lookup(pair_keys, pair_last, rows, pools.reshape(-1),
                        num_items_pad, default=-1).reshape(U, P)
-    chunk = 4096
+    D = im.shape[1]
+    im_sq = im * im
+    chunk = 1024  # (chunk, P, D) elementwise product for ui_max stays <0.5 GB
     for s0 in range(0, U, chunk):
         sl = slice(s0, min(s0 + chunk, U))
-        cos = np.einsum("upd,ud->up", im[pools[sl]], uv[sl])
+        cand = im[pools[sl]]                       # (c, P, D)
+        cos = np.einsum("upd,ud->up", cand, uv[sl])
         lo = cos.min(1, keepdims=True)
         hi = cos.max(1, keepdims=True)
         feats[sl, :, 0] = (cos - lo) / np.clip(hi - lo, 1e-12, None)
+        feats[sl, :, 12] = cos
+        prod = cand * uv[sl][:, None, :]           # u ⊙ i
+        feats[sl, :, 13] = prod.max(-1)
+        # Var(u⊙i) over dims = E[(u⊙i)^2] - mean^2, mean = cos / D
+        ex2 = np.einsum("upd,ud->up", im_sq[pools[sl]], uv[sl] * uv[sl]) / D
+        feats[sl, :, 14] = np.sqrt(np.clip(ex2 - (cos / D) ** 2, 0.0, None))
     feats[:, :, 1] = lqn[pools]
     feats[:, :, 2] = np.log1p(cnt)
     feats[:, :, 3] = np.where(last >= 0, (now_day - last) / 365.0, 2.0)
@@ -172,6 +193,9 @@ def pool_features(pools, flags, uvecs, item_matrix, logq, pair_keys,
         uld = np.asarray(user_last_day, np.float32)
         feats[:, :, 11] = np.where(uld[:, None] >= 0,
                                    (now_day - uld[:, None]) / 365.0, 2.0)
+    if user_price is not None:
+        up = np.asarray(user_price, np.float32)
+        feats[:, :, 15] = np.abs(price_log[pools] - up[:, None])
     return feats
 
 

@@ -914,9 +914,14 @@ def cmd_rerank_eval(cfg: Config, args) -> dict:
         user_last = np.full(len(uid_list), -1, np.int64)
         if len(urow):
             np.maximum.at(user_last, urow, day)
+        psum = np.zeros(len(uid_list), np.float64)
+        if len(urow):
+            np.add.at(psum, urow, price[iidx])
+        user_price = (psum / np.maximum(hist_lens, 1)).astype(np.float32)
         feats = R.pool_features(pools, flags, uv, item_mat, logq, keys,
                                 counts, last, now_day, N1, price,
-                                hist_lens=hist_lens, user_last_day=user_last)
+                                hist_lens=hist_lens, user_last_day=user_last,
+                                user_price=user_price)
         return pools, feats, hists
 
     # ---- inner split: train the ranker strictly inside the train window

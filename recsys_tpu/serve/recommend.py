@@ -274,8 +274,11 @@ def rerank_serve_topk(assets: RecommendAssets, uvecs: np.ndarray,
     hist_lens = np.array([len(ii) for ii, _ in event_arrays], np.int64)
     user_last = np.array([int(dd.max()) if len(dd) else -1
                           for _, dd in event_arrays], np.int64)
+    user_price = np.array([float(assets.price_log[ii].mean()) if len(ii)
+                           else 0.0 for ii, _ in event_arrays], np.float32)
     feats = R.pool_features(pools, flags, uvecs, assets.items_norm,
                             assets.logq, keys, counts, last, now_day, N1,
                             assets.price_log, hist_lens=hist_lens,
-                            user_last_day=user_last, items_prenormalized=True)
+                            user_last_day=user_last, items_prenormalized=True,
+                            user_price=user_price)
     return R.rerank_topk(assets.ranker, feats, pools, k)

@@ -324,10 +324,43 @@ def test_rerank_serve_topk_prenormalized_matches_r4_path():
     cos_idx = R.cosine_topm(uv, assets.item_matrix, 10, device=False)
     pop = popularity_ranking(assets.logq, 5)
     pools, flags = R.build_pools(cos_idx, [ii for ii, _ in ev], pop, 32)
+    up = np.array([assets.price_log[[1, 2]].mean(),
+                   assets.price_log[[5]].mean()], np.float32)
     feats = R.pool_features(pools, flags, uv, assets.item_matrix,
                             assets.logq, keys, counts, last, 31, N1,
                             assets.price_log,
                             hist_lens=np.array([2, 1], np.int64),
-                            user_last_day=np.array([20, 30], np.int64))
+                            user_last_day=np.array([20, 30], np.int64),
+                            user_price=up)
     expect = R.rerank_topk(assets.ranker, feats, pools, 8)
     np.testing.assert_array_equal(top, expect)
+
+
+def test_pool_features_interaction_stats():
+    """cos_raw / ui_max / ui_std / price_diff (round-5 feature set) match
+    a direct per-pair computation."""
+    rng = np.random.default_rng(11)
+    N1, D, U, P = 30, 16, 3, 8
+    im = rng.normal(size=(N1, D)).astype(np.float32)
+    im[0] = 0
+    uv = rng.normal(size=(U, D)).astype(np.float32)
+    pools = rng.integers(1, N1, (U, P)).astype(np.int64)
+    flags = np.ones((U, P), np.int8)
+    logq = rng.normal(size=N1).astype(np.float32)
+    price = rng.uniform(0, 3, N1).astype(np.float32)
+    keys, counts, last = R.pair_index(
+        np.array([0], np.int64), np.array([1], np.int64),
+        np.array([5], np.int64), N1)
+    up = rng.uniform(0, 3, U).astype(np.float32)
+    feats = R.pool_features(pools, flags, uv, im, logq, keys, counts, last,
+                            10, N1, price, user_price=up)
+    imn = im / np.clip(np.linalg.norm(im, axis=-1, keepdims=True), 1e-12, None)
+    uvn = uv / np.clip(np.linalg.norm(uv, axis=-1, keepdims=True), 1e-12, None)
+    for u in range(U):
+        for j in range(P):
+            prod = imn[pools[u, j]] * uvn[u]
+            assert abs(feats[u, j, 12] - prod.sum()) < 1e-4       # cos_raw
+            assert abs(feats[u, j, 13] - prod.max()) < 1e-5       # ui_max
+            assert abs(feats[u, j, 14] - prod.std()) < 1e-4       # ui_std
+            assert abs(feats[u, j, 15]
+                       - abs(price[pools[u, j]] - up[u])) < 1e-5  # price_diff
