@@ -17,7 +17,8 @@ for f in items.parquet users.parquet transactions.parquet \
          item_matrix.npy item_matrix.ids.json \
          gnn_users.npy gnn_users.ids.json gnn_items.npy gnn_items.ids.json \
          gnn_distilled_items.npy gnn_distilled_items.ids.json \
-         gnn_distilled_users.npy gnn_distilled_users.ids.json; do
+         gnn_distilled_users.npy gnn_distilled_users.ids.json \
+         gnn_eval.json; do
   [ -e "$WD/$f" ] || { [ -e "$SRC/$f" ] && ln -s "$SRC/$f" "$WD/$f"; }
 done
 SETS="--set data.root=$WD --set data.num_items=105000 --set data.num_users=1370000 \
