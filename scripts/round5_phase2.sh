@@ -1,0 +1,109 @@
+#!/bin/bash
+# Round-5 chip campaign phase 2 (after round5_chip.sh):
+#   1. stage-2 long-run extension ep25 -> ep40 (VERDICT item 6; resume
+#      from the surviving ep025 checkpoint; curve exported per epoch)
+#   2. eval_uvecs refresh + eval grid IF the extension improved the best
+#      checkpoint (rerank-eval silently reuses ep25 vectors otherwise)
+#   3. stage-2-pools rerank row (the r4 orphan rerank.stderr stage)
+#   4. hybrid-pool sweeps on the recipe checkpoint: pool 1024 and an
+#      m_cos/m_pop composition arm (VERDICT item 2)
+#   5. serving-mode bench on the chip, now with a trained ranker
+# Usage: round5_phase2.sh <deadline_epoch_seconds>
+set -u -o pipefail
+cd "$(dirname "$0")/.."
+OUT=artifacts/quality_hm_v4
+WD=$OUT/world
+DEADLINE=${1:?deadline epoch seconds}
+SETS="--set data.root=$WD --set data.num_items=105000 --set data.num_users=1370000 \
+ --set data.days=365 --set data.repeat_prob=0.10 --set data.name_style_words=2"
+RCP="--set data.root=$OUT/world_rcp --set data.num_items=105000 \
+ --set data.num_users=1370000 --set data.days=365 --set data.repeat_prob=0.10 \
+ --set data.name_style_words=2"
+log() { echo "[$(date +%T)] $*" >> "$OUT/round5.log"; }
+
+run() {  # run <name> <timeout_s> <cmd...>   (uses $RSETS if set, else $SETS)
+  local name=$1 tmo=$2; shift 2
+  local sets=${RSETS:-$SETS}
+  [ -s "$OUT/$name.json" ] && { log "skip $name"; return 0; }
+  local left=$(( DEADLINE - $(date +%s) ))
+  [ "$left" -gt 300 ] || { log "no time for $name"; return 1; }
+  [ "$tmo" -gt "$left" ] && tmo=$left
+  log "start $name (timeout ${tmo}s)"
+  if timeout "$tmo" python -m recsys_tpu.pipeline.cli "$@" $sets \
+      2> >(tail -60 > "$OUT/$name.stderr") > "$OUT/$name.json.tmp"; then
+    mv "$OUT/$name.json.tmp" "$OUT/$name.json"; log "done $name"
+  else
+    local rc=$?; rm -f "$OUT/$name.json.tmp"; log "FAILED $name (exit $rc)"
+    return 1
+  fi
+}
+
+curve() {
+  python - <<'EOF'
+import json
+rows = []
+try:
+    with open("artifacts/quality_hm_v4/world/ckpt_user/metrics.jsonl") as f:
+        for line in f:
+            r = json.loads(line)
+            if r.get("kind") == "eval" or "recall@100" in r:
+                rows.append(r)
+except FileNotFoundError:
+    pass
+with open("artifacts/quality_hm_v4/user_curve.json", "w") as f:
+    json.dump(rows, f, indent=1)
+print(f"user_curve.json: {len(rows)} eval rows")
+EOF
+}
+
+# ---- wait for round5_chip.sh to release the chip
+for i in $(seq 1 1400); do
+  grep -q "round5_chip done" "$OUT/round5.log" 2>/dev/null && break
+  sleep 15
+done
+grep -q "round5_chip done" "$OUT/round5.log" 2>/dev/null \
+  || { log "phase2: chain never finished — proceeding anyway after wait cap"; }
+
+# ---- 1. stage-2 extension (resume from ep025)
+run user_ext 10800 train-user --resume --set user_train.epochs=40 \
+  --set user_train.ckpt_every=5
+curve >> "$OUT/round5.log"
+
+# ---- 2. refresh eval vectors iff the best checkpoint moved
+IMPROVED=$(python - <<'EOF'
+import json
+try:
+    man = json.load(open("artifacts/quality_hm_v4/world/ckpt_user/manifest.json"))
+    best = man.get("best", {}).get("metric") or 0.0
+    print("yes" if best > 0.1542 + 0.002 else "no")
+except Exception:
+    print("no")
+EOF
+)
+log "stage-2 extension improved best: $IMPROVED"
+if [ "$IMPROVED" = yes ] && [ ! -s "$OUT/eval_r5.json" ]; then
+  rm -f "$WD/eval_uvecs.npy" "$WD/eval_uvecs.ids.json"
+  run eval_r5 7200 eval
+fi
+
+# ---- 3. stage-2-pools rerank row (fills the r4 orphan)
+run rerank 10800 rerank-eval
+
+# ---- 4. hybrid pool sweeps on the recipe checkpoint
+if [ -d "$OUT/world_rcp" ] && [ -s "$OUT/rerank_hybrid_rcp.json" ]; then
+  RSETS=$RCP run rerank_hybrid_rcp_1024 10800 rerank-eval --vectors hybrid \
+    --pool 1024 --m-cos 600 --m-pop 200
+  RSETS=$RCP run rerank_hybrid_rcp_cos450 10800 rerank-eval --vectors hybrid \
+    --pool 512 --m-cos 450 --m-pop 50
+fi
+
+# ---- 5. serving bench on the chip (ranker from step 3 if it landed)
+if [ ! -s "$OUT/serve_bench_tpu.json" ]; then
+  log "start serve_bench_tpu"
+  timeout 2400 python scripts/serve_bench.py "$WD" \
+    "$OUT/serve_bench_tpu.json" 256 512 \
+    2> >(tail -40 > "$OUT/serve_bench_tpu.stderr") \
+    && log "done serve_bench_tpu" || log "FAILED serve_bench_tpu"
+fi
+
+log "round5_phase2 done"
