@@ -64,6 +64,42 @@ done
 grep -q "round5_chip done" "$OUT/round5.log" 2>/dev/null \
   || { log "phase2: chain never finished — proceeding anyway after wait cap"; }
 
+# ---- 0. distill fidelity-vs-scale sweep (failed in the chain on a
+# missing PYTHONPATH; the campaign distill_r5 ran with hard_frac=0.0, so
+# if the sweep's full-scale verdict says hard-mining fixes fidelity, add
+# the hard-recipe distilled rows as a separate labeled arm)
+if [ ! -s "$OUT/distill_scale_sweep.json" ]; then
+  log "start distill_scale_sweep (phase2)"
+  if PYTHONPATH=. timeout 5400 python scripts/distill_scale_sweep.py "$WD" \
+      "$OUT/distill_scale_sweep.json" \
+      2> >(tail -40 > "$OUT/distill_scale_sweep.stderr") \
+      > "$OUT/distill_scale_sweep.rows"; then
+    log "done distill_scale_sweep"
+  else
+    log "FAILED distill_scale_sweep"
+  fi
+fi
+HARD=$(python - <<'EOF'
+import json
+try:
+    rows = json.load(open("artifacts/quality_hm_v4/distill_scale_sweep.json"))["rows"]
+    full = max(r["n_items"] for r in rows)
+    fid = {r["arm"]: r.get("fidelity", 0.0)
+           for r in rows if r["n_items"] == full}
+    print("yes" if fid.get("hard", 0.0) > fid.get("default", 0.0) + 0.1 else "no")
+except Exception:
+    print("no")
+EOF
+)
+log "hard-mining fixes fidelity at shape: $HARD"
+if [ "$HARD" = yes ]; then
+  run distill_r5_hard 3600 distill --set distill.hard_frac=0.5
+  if [ -s "$OUT/distill_r5_hard.json" ]; then
+    rm -f "$WD/gnn_eval.json"
+    run gnn_eval_r5h 5400 gnn-eval
+  fi
+fi
+
 # ---- 1. stage-2 extension (resume from ep025)
 run user_ext 10800 train-user --resume --set user_train.epochs=40 \
   --set user_train.ckpt_every=5
@@ -100,7 +136,7 @@ fi
 # ---- 5. serving bench on the chip (ranker from step 3 if it landed)
 if [ ! -s "$OUT/serve_bench_tpu.json" ]; then
   log "start serve_bench_tpu"
-  timeout 2400 python scripts/serve_bench.py "$WD" \
+  PYTHONPATH=. timeout 2400 python scripts/serve_bench.py "$WD" \
     "$OUT/serve_bench_tpu.json" 256 512 \
     2> >(tail -40 > "$OUT/serve_bench_tpu.stderr") \
     && log "done serve_bench_tpu" || log "FAILED serve_bench_tpu"
