@@ -335,23 +335,28 @@ def cmd_ensemble_eval(cfg: Config, args) -> dict:
     gi, gi_ids, _ = load_array_with_ids(p["gnn_prefix"] + "_items")
     gd = gd_ids = du = du_ids = None
     try:
-        gd, gd_ids, _ = load_array_with_ids(p["distilled"])
+        _gd, _gd_ids, _ = load_array_with_ids(p["distilled"])
         du, du_ids, _ = load_array_with_ids(p["distilled_users"])
+        gd, gd_ids = _gd, _gd_ids  # set only when BOTH sides loaded — a
+        # timeout between cmd_distill's two saves leaves items without
+        # users, and a half-loaded pair must fall back to the raw arm
     except FileNotFoundError:
         pass
     arm = "distill_cos" if gd is not None else "gnn_dot"
     try:
         with open(p["root"] + "/gnn_eval.json") as f:
             ge = json.load(f)
-        ge_rows = {r: ge[r] for r in ("gnn_dot", "gnn_cos", "distill_cos")
-                   if r in ge}
+        # only arms whose artifacts are actually loadable are candidates
+        avail = ("gnn_dot", "gnn_cos") + (("distill_cos",)
+                                          if gd is not None else ())
+        ge_rows = {r: ge[r] for r in avail if r in ge}
         if ge_rows:
             key = next(k for k in ("recall@100", "recall@20")
                        if any(k in v for v in ge_rows.values()))
             arm = max(ge_rows, key=lambda r: ge_rows[r].get(key, 0.0))
-    except FileNotFoundError:
-        pass
-    if arm == "distill_cos" and gd is not None:
+    except (FileNotFoundError, json.JSONDecodeError, StopIteration):
+        pass  # truncated sidecar / exotic eval_ks: keep the fallback arm
+    if arm == "distill_cos":
         gnn_mat = H.align_gnn_to_catalog(gd, gd_ids, item_map)
         gu_aligned = H.align_gnn_users(du, du_ids, uids)
         normalize_arm = True

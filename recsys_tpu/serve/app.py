@@ -450,14 +450,9 @@ class AppContext:
         iidx, days = RC.store_events_arrays(assets, events)
         if mode == "blend":
             sc = self.cfg.serve
-            backend = sc.blend_backend
-            if backend == "auto":
-                import jax
-
-                backend = "device" if jax.default_backend() != "cpu" else "host"
             idx = RC.blend_topk(assets, vec[None], [iidx],
                                 sc.blend_alpha, sc.blend_beta, k,
-                                backend=backend)
+                                backend=sc.blend_backend)
         else:
             sc = self.cfg.serve
             now_day = int(days.max()) + 1 if len(days) else 0

@@ -170,6 +170,12 @@ def blend_topk(assets: RecommendAssets, uvecs: np.ndarray,
     kernel over the device-resident matrix (`_blend_kernel`); the two
     backends return list-identical results (tests/test_serve_modes.py).
     """
+    if backend == "auto":
+        import jax
+
+        backend = "device" if jax.default_backend() != "cpu" else "host"
+    if backend not in ("host", "device"):
+        raise ValueError(f"blend backend {backend!r} (want auto|host|device)")
     if backend == "device":
         return _blend_topk_device(assets, uvecs, hists, alpha, beta, k)
     items = assets.items_norm

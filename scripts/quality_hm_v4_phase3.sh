@@ -67,7 +67,14 @@ fi
 # ---- stage-2 long run, bounded by the session deadline
 TMO=$(( DEADLINE - $(date +%s) ))
 [ "$TMO" -gt 600 ] || { log "no time left for stage-2"; exit 1; }
-log "start user (timeout ${TMO}s)"  # start sentinel phase4 waits on
+if [ -s "$OUT/user.rerun.json" ]; then  # re-entrant like every other stage
+  log "skip user"; wait; log phase3-exit; exit 0
+fi
+# fresh-file sentinel for phase4 — a FILE, not a log line: phase3.log is
+# git-committed, so grepping it matches stale round-4 lines after a wipe
+# (code-review r5 finding)
+date +%s > "$OUT/.user_stage_started"
+log "start user (timeout ${TMO}s)"
 if timeout "$TMO" python -m recsys_tpu.pipeline.cli train-user \
     --set user_train.epochs=25 --set user_train.ckpt_every=5 $SETS \
     2> >(tail -60 > "$OUT/user.stderr") > "$OUT/user.rerun.json.tmp"; then

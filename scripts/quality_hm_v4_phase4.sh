@@ -16,9 +16,11 @@ log() { echo "[$(date +%T)] $*" >> "$OUT/phase4.log"; }
 # wait for the stage-2 long run to finish (deadline kill also counts —
 # the best checkpoint is on disk either way). First wait for phase3's
 # explicit start sentinel so a pgrep miss before the stage even launches
-# can't send eval at a stale checkpoint (ADVICE r4).
+# can't send eval at a stale checkpoint (ADVICE r4). The sentinel is an
+# UNTRACKED file, not a phase3.log line — the log is git-committed, so a
+# grep would match stale round-4 lines after a wipe (code-review r5).
 for i in $(seq 1 720); do
-  grep -q "start user" "$OUT/phase3.log" 2>/dev/null && break
+  [ -e "$OUT/.user_stage_started" ] && break
   [ -s "$OUT/user.rerun.json" ] && break
   sleep 10
 done

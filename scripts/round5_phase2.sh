@@ -118,8 +118,20 @@ EOF
 )
 log "stage-2 extension improved best: $IMPROVED"
 if [ "$IMPROVED" = yes ] && [ ! -s "$OUT/eval_r5.json" ]; then
-  rm -f "$WD/eval_uvecs.npy" "$WD/eval_uvecs.ids.json"
-  run eval_r5 7200 eval
+  # stash-then-rebuild, not delete-then-rebuild: a failed eval_r5 must
+  # not leave the world without the sidecars later stages hard-require
+  # (code-review r5 finding)
+  mv -f "$WD/eval_uvecs.npy" "$WD/eval_uvecs.npy.bak" 2>/dev/null || true
+  mv -f "$WD/eval_uvecs.ids.json" "$WD/eval_uvecs.ids.json.bak" 2>/dev/null || true
+  if run eval_r5 7200 eval; then
+    rm -f "$WD/eval_uvecs.npy.bak" "$WD/eval_uvecs.ids.json.bak"
+  else
+    [ -e "$WD/eval_uvecs.npy" ] || {
+      mv -f "$WD/eval_uvecs.npy.bak" "$WD/eval_uvecs.npy" 2>/dev/null
+      mv -f "$WD/eval_uvecs.ids.json.bak" "$WD/eval_uvecs.ids.json" 2>/dev/null
+      log "eval_r5 failed — restored ep25 eval_uvecs sidecars"
+    }
+  fi
 fi
 
 # ---- 3. stage-2-pools rerank row (fills the r4 orphan)
