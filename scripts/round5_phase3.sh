@@ -35,8 +35,57 @@ run() {
   fi
 }
 
-if [ -d "$OUT/world_rcp" ] && [ -s "$OUT/rerank_hybrid_rcp.json" ]; then
-  RSETS=$RCP run rerank_hybrid_rcp_deep 10800 rerank-eval --vectors hybrid \
+# ---- wait for phase 2 to release the chip
+for i in $(seq 1 1400); do
+  grep -q "round5_phase2 done" "$OUT/round5.log" 2>/dev/null && break
+  [ $(( DEADLINE - $(date +%s) )) -lt 600 ] && break
+  sleep 15
+done
+
+# ---- 0. old-recipe hybrid EXTENDED (the decisive arm): the recipe run
+# measured 20.29%@100 after 4 low-LR epochs vs r4's 21.98 after 2
+# default-recipe epochs that were still rising +0.77pp/epoch when the
+# campaign stopped them. Train the default recipe 6 epochs in its own
+# isolated world and rerank over whichever hybrid checkpoint measures
+# best.
+CTRL=$OUT/world_ctrl
+CSETS="--set data.root=$CTRL --set data.num_items=105000 \
+ --set data.num_users=1370000 --set data.days=365 --set data.repeat_prob=0.10 \
+ --set data.name_style_words=2"
+mkdir -p "$CTRL"
+for f in items.parquet users.parquet transactions.parquet \
+         features_item.parquet features_sequence.parquet \
+         features_user.parquet targets_val.json \
+         item_matrix.npy item_matrix.ids.json \
+         gnn_users.npy gnn_users.ids.json gnn_items.npy gnn_items.ids.json \
+         gnn_distilled_items.npy gnn_distilled_items.ids.json \
+         gnn_distilled_users.npy gnn_distilled_users.ids.json \
+         gnn_eval.json; do
+  [ -e "$CTRL/$f" ] || { [ -e "$WD/$f" ] && ln -s "$(pwd)/$WD/$f" "$CTRL/$f"; }
+done
+RSETS=$CSETS run hybrid_ctrl6 10800 train-hybrid \
+  --set user_train.epochs=6 --set user_train.ckpt_every=1
+if [ -s "$OUT/hybrid_ctrl6.json" ]; then
+  RSETS=$CSETS run rerank_hybrid_ctrl6 10800 rerank-eval --vectors hybrid
+fi
+
+# ---- 1. deep-ranker A/B on the better hybrid world
+BESTW=$OUT/world_rcp
+BSETS=$RCP
+if [ -s "$OUT/hybrid_ctrl6.json" ] && python - <<'EOF'
+import json, sys
+try:
+    c = json.load(open("artifacts/quality_hm_v4/hybrid_ctrl6.json"))
+    r = json.load(open("artifacts/quality_hm_v4/hybrid_recipe_shape.json"))
+    sys.exit(0 if c["hybrid_best"]["recall@100"] > r["hybrid_best"]["recall@100"]
+             else 1)
+except Exception:
+    sys.exit(1)
+EOF
+then BESTW=$CTRL; BSETS=$CSETS; fi
+log "deep-ranker arm world: $BESTW"
+if [ -s "$OUT/rerank_hybrid_rcp.json" ] || [ -s "$OUT/rerank_hybrid_ctrl6.json" ]; then
+  RSETS=$BSETS run rerank_hybrid_deep 10800 rerank-eval --vectors hybrid \
     --sample 40000 --iterations 400
 fi
 run ensemble_eval_r5_m2000 7200 ensemble-eval --pool 2000
