@@ -153,6 +153,10 @@ class UserTrainConfig:
     hybrid_lr_decay: str = "const"      # const | cosine
     hybrid_slow_modules: Sequence[str] = ()   # top-level param groups
     hybrid_slow_scale: float = 1.0
+    # train-hybrid's post-train ensemble/blend report costs ~70 min of
+    # host fuser time at the H&M shape — recipe-comparison arms that only
+    # need the epoch curve + best checkpoint + item matrix turn it off
+    hybrid_report: bool = True
     # checkpoint cadence: epochs that neither improve Recall@100 nor land on
     # the cadence (nor are the final epoch) skip the state snapshot — at
     # reference scale a full-state save costs ~90 s through the device

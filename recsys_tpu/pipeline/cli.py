@@ -631,6 +631,14 @@ def cmd_train_hybrid(cfg: Config, args) -> dict:
                         list(data["item_map"].ids),
                         meta={"source": "train-hybrid best checkpoint"})
 
+    if not cfg.user_train.hybrid_report:
+        # recipe-comparison arm: epoch curve + best ckpt + item matrix
+        # only (the full ensemble/blend report costs ~70 min of host
+        # fuser time at shape)
+        return {"hybrid_best": _best_epoch(history),
+                "hybrid_final": history[-1] if history else {},
+                "hybrid_history": history, "report": "skipped"}
+
     # ensemble report: hybrid retrieval vs distilled-GNN retrieval
     import jax.numpy as jnp
     tensors = data["tensors"]

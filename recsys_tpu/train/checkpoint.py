@@ -134,6 +134,30 @@ class CheckpointStore:
             raise FileNotFoundError(f"no best checkpoint in {self.dir}")
         return self.restore(best["name"], target), best
 
+    def restore_best_params(self, params_template: Any) -> tuple[Any, dict]:
+        """Restore ONLY the params subtree of the best checkpoint.
+
+        Post-hoc consumers (rerank pools, serving exports) don't need
+        optimizer state, and a full-state template would have to
+        reproduce the training run's exact optimizer chain — lr-schedule
+        flags change the opt_state tree structure, so restoring a
+        recipe-trained checkpoint through a default-recipe template
+        fails on namedtuple mismatch (round-5 rerank_hybrid_rcp)."""
+        best = self.manifest.get("best")
+        if best is None:
+            raise FileNotFoundError(f"no best checkpoint in {self.dir}")
+        path = self._payload_path("best")
+        if self.backend == "msgpack":
+            with open(path, "rb") as f:
+                raw = serialization.msgpack_restore(f.read())
+        else:
+            import orbax.checkpoint as ocp
+
+            with ocp.PyTreeCheckpointer() as ckptr:
+                raw = ckptr.restore(os.path.abspath(path))
+        return serialization.from_state_dict(params_template,
+                                             raw["params"]), best
+
     def restore_latest(self, target: Any) -> tuple[Any, dict] | None:
         """Resume support: restore the highest-step checkpoint, or None."""
         cks = self.manifest["checkpoints"]

@@ -213,16 +213,15 @@ def restore_hybrid(cfg: Config, data: dict, content: np.ndarray,
         sample["input_ids"], sample["time_buckets"], sample["seq_mask"],
         jnp.zeros((sample["input_ids"].shape[0], gnn_items.shape[1])),
         sample["user_buckets"], sample["user_cats"], sample["user_cont"])["params"]
-    bs_steps = max(n // bs, 1)
-    passes = max(1, -(-ut.hybrid_steps_per_epoch_min // bs_steps))
-    tx = make_hybrid_optimizer(ut, params,
-                               total_steps=passes * bs_steps * ut.epochs)
-    state = TrainState.create(params, tx)
+    # params-only restore: the post-hoc entry must work on checkpoints
+    # from ANY training recipe — a full-state template would have to
+    # reproduce the run's optimizer chain (lr-schedule flags change the
+    # opt_state tree shape)
     store = CheckpointStore(workdir, maximize=True)
-    state, _entry = store.restore_best(state)
+    params, _entry = store.restore_best_params(params)
     _, uv_fn, im_fn = make_hybrid_step(cfg, model, content, gnn_items,
                                        data["logq"])
-    return state.params, uv_fn, im_fn
+    return params, uv_fn, im_fn
 
 
 def hybrid_eval(cfg: Config, params, uv_fn, im_fn, data, gnn_users, mesh,

@@ -1,13 +1,16 @@
 #!/bin/bash
-# Round-5 chip campaign phase 2 (after round5_chip.sh):
-#   1. stage-2 long-run extension ep25 -> ep40 (VERDICT item 6; resume
-#      from the surviving ep025 checkpoint; curve exported per epoch)
-#   2. eval_uvecs refresh + eval grid IF the extension improved the best
-#      checkpoint (rerank-eval silently reuses ep25 vectors otherwise)
-#   3. stage-2-pools rerank row (the r4 orphan rerank.stderr stage)
-#   4. hybrid-pool sweeps on the recipe checkpoint: pool 1024 and an
-#      m_cos/m_pop composition arm (VERDICT item 2)
-#   5. serving-mode bench on the chip, now with a trained ranker
+# Round-5 chip campaign phase 2 (after round5_chip.sh), risk-ranked:
+#   0. distill fidelity-vs-scale sweep (+conditional hard-recipe arm)
+#   1. extended DEFAULT-recipe hybrid (6 epochs, report skipped) — the
+#      live path to a new best system after the low-LR recipe measured
+#      20.29%@100 at shape vs r4's still-rising 2-epoch 21.98% — then
+#      rerank rows over both hybrid checkpoints (restore is now
+#      params-only, so recipe flags don't matter)
+#   2. stage-2 long-run extension ep25 -> ep40 (resume; curve exported)
+#   3. eval_uvecs refresh + eval grid IF the extension improved best
+#   4. stage-2-pools rerank row (the r4 orphan rerank.stderr stage)
+#   5. pool sweeps (1024 / composition) on the BEST hybrid world
+#   6. serving-mode bench on the chip with the trained ranker
 # Usage: round5_phase2.sh <deadline_epoch_seconds>
 set -u -o pipefail
 cd "$(dirname "$0")/.."
@@ -17,6 +20,10 @@ DEADLINE=${1:?deadline epoch seconds}
 SETS="--set data.root=$WD --set data.num_items=105000 --set data.num_users=1370000 \
  --set data.days=365 --set data.repeat_prob=0.10 --set data.name_style_words=2"
 RCP="--set data.root=$OUT/world_rcp --set data.num_items=105000 \
+ --set data.num_users=1370000 --set data.days=365 --set data.repeat_prob=0.10 \
+ --set data.name_style_words=2"
+CTRL=$OUT/world_ctrl
+CSETS="--set data.root=$CTRL --set data.num_items=105000 \
  --set data.num_users=1370000 --set data.days=365 --set data.repeat_prob=0.10 \
  --set data.name_style_words=2"
 log() { echo "[$(date +%T)] $*" >> "$OUT/round5.log"; }
@@ -61,13 +68,8 @@ for i in $(seq 1 1400); do
   grep -q "round5_chip done" "$OUT/round5.log" 2>/dev/null && break
   sleep 15
 done
-grep -q "round5_chip done" "$OUT/round5.log" 2>/dev/null \
-  || { log "phase2: chain never finished — proceeding anyway after wait cap"; }
 
-# ---- 0. distill fidelity-vs-scale sweep (failed in the chain on a
-# missing PYTHONPATH; the campaign distill_r5 ran with hard_frac=0.0, so
-# if the sweep's full-scale verdict says hard-mining fixes fidelity, add
-# the hard-recipe distilled rows as a separate labeled arm)
+# ---- 0. distill fidelity-vs-scale sweep + conditional hard arm
 if [ ! -s "$OUT/distill_scale_sweep.json" ]; then
   log "start distill_scale_sweep (phase2)"
   if PYTHONPATH=. timeout 5400 python scripts/distill_scale_sweep.py "$WD" \
@@ -95,17 +97,38 @@ log "hard-mining fixes fidelity at shape: $HARD"
 if [ "$HARD" = yes ]; then
   run distill_r5_hard 3600 distill --set distill.hard_frac=0.5
   if [ -s "$OUT/distill_r5_hard.json" ]; then
-    rm -f "$WD/gnn_eval.json"
     run gnn_eval_r5h 5400 gnn-eval
   fi
 fi
 
-# ---- 1. stage-2 extension (resume from ep025)
+# ---- 1. extended default-recipe hybrid + rerank rows
+mkdir -p "$CTRL"
+for f in items.parquet users.parquet transactions.parquet \
+         features_item.parquet features_sequence.parquet \
+         features_user.parquet targets_val.json \
+         item_matrix.npy item_matrix.ids.json \
+         gnn_users.npy gnn_users.ids.json gnn_items.npy gnn_items.ids.json \
+         gnn_distilled_items.npy gnn_distilled_items.ids.json \
+         gnn_distilled_users.npy gnn_distilled_users.ids.json \
+         gnn_eval.json; do
+  [ -e "$CTRL/$f" ] || { [ -e "$WD/$f" ] && ln -s "$(pwd)/$WD/$f" "$CTRL/$f"; }
+done
+RSETS=$CSETS run hybrid_ctrl6 10800 train-hybrid \
+  --set user_train.epochs=6 --set user_train.ckpt_every=1 \
+  --set user_train.hybrid_report=false
+if [ -s "$OUT/hybrid_ctrl6.json" ]; then
+  RSETS=$CSETS run rerank_hybrid_ctrl6 10800 rerank-eval --vectors hybrid
+fi
+if [ -d "$OUT/world_rcp" ]; then
+  RSETS=$RCP run rerank_hybrid_rcp 10800 rerank-eval --vectors hybrid
+fi
+
+# ---- 2. stage-2 extension (resume from ep025)
 run user_ext 10800 train-user --resume --set user_train.epochs=40 \
   --set user_train.ckpt_every=5
 curve >> "$OUT/round5.log"
 
-# ---- 2. refresh eval vectors iff the best checkpoint moved
+# ---- 3. refresh eval vectors iff the best checkpoint moved
 IMPROVED=$(python - <<'EOF'
 import json
 try:
@@ -118,9 +141,8 @@ EOF
 )
 log "stage-2 extension improved best: $IMPROVED"
 if [ "$IMPROVED" = yes ] && [ ! -s "$OUT/eval_r5.json" ]; then
-  # stash-then-rebuild, not delete-then-rebuild: a failed eval_r5 must
-  # not leave the world without the sidecars later stages hard-require
-  # (code-review r5 finding)
+  # stash-then-rebuild: a failed eval_r5 must not leave the world
+  # without the sidecars later stages hard-require
   mv -f "$WD/eval_uvecs.npy" "$WD/eval_uvecs.npy.bak" 2>/dev/null || true
   mv -f "$WD/eval_uvecs.ids.json" "$WD/eval_uvecs.ids.json.bak" 2>/dev/null || true
   if run eval_r5 7200 eval; then
@@ -134,18 +156,31 @@ if [ "$IMPROVED" = yes ] && [ ! -s "$OUT/eval_r5.json" ]; then
   fi
 fi
 
-# ---- 3. stage-2-pools rerank row (fills the r4 orphan)
+# ---- 4. stage-2-pools rerank row (fills the r4 orphan)
 run rerank 10800 rerank-eval
 
-# ---- 4. hybrid pool sweeps on the recipe checkpoint
-if [ -d "$OUT/world_rcp" ] && [ -s "$OUT/rerank_hybrid_rcp.json" ]; then
-  RSETS=$RCP run rerank_hybrid_rcp_1024 10800 rerank-eval --vectors hybrid \
+# ---- 5. pool sweeps on the BEST hybrid world
+BESTW=$OUT/world_rcp; BSETS=$RCP
+if [ -s "$OUT/hybrid_ctrl6.json" ] && python - <<'EOF'
+import json, sys
+try:
+    c = json.load(open("artifacts/quality_hm_v4/hybrid_ctrl6.json"))
+    r = json.load(open("artifacts/quality_hm_v4/hybrid_recipe_shape.json"))
+    sys.exit(0 if c["hybrid_best"]["recall@100"] > r["hybrid_best"]["recall@100"]
+             else 1)
+except Exception:
+    sys.exit(1)
+EOF
+then BESTW=$CTRL; BSETS=$CSETS; fi
+log "pool sweeps on: $BESTW"
+if [ -d "$BESTW" ]; then
+  RSETS=$BSETS run rerank_hybrid_1024 10800 rerank-eval --vectors hybrid \
     --pool 1024 --m-cos 600 --m-pop 200
-  RSETS=$RCP run rerank_hybrid_rcp_cos450 10800 rerank-eval --vectors hybrid \
+  RSETS=$BSETS run rerank_hybrid_cos450 10800 rerank-eval --vectors hybrid \
     --pool 512 --m-cos 450 --m-pop 50
 fi
 
-# ---- 5. serving bench on the chip (ranker from step 3 if it landed)
+# ---- 6. serving bench on the chip (ranker from step 4 if it landed)
 if [ ! -s "$OUT/serve_bench_tpu.json" ]; then
   log "start serve_bench_tpu"
   PYTHONPATH=. timeout 2400 python scripts/serve_bench.py "$WD" \
