@@ -53,7 +53,7 @@ run gnn_eval_r5 5400 gnn-eval
 # ---- 2. fidelity-vs-scale sweep
 if [ ! -s "$OUT/distill_scale_sweep.json" ]; then
   log "start distill_scale_sweep"
-  if PYTHONPATH=. timeout 5400 python scripts/distill_scale_sweep.py "$WD" \
+  if PYTHONPATH=.:/root/.axon_site timeout 5400 python scripts/distill_scale_sweep.py "$WD" \
       "$OUT/distill_scale_sweep.json" \
       2> >(tail -40 > "$OUT/distill_scale_sweep.stderr") \
       > "$OUT/distill_scale_sweep.rows"; then

@@ -72,7 +72,7 @@ done
 # ---- 0. distill fidelity-vs-scale sweep + conditional hard arm
 if [ ! -s "$OUT/distill_scale_sweep.json" ]; then
   log "start distill_scale_sweep (phase2)"
-  if PYTHONPATH=. timeout 5400 python scripts/distill_scale_sweep.py "$WD" \
+  if PYTHONPATH=.:/root/.axon_site timeout 5400 python scripts/distill_scale_sweep.py "$WD" \
       "$OUT/distill_scale_sweep.json" \
       2> >(tail -40 > "$OUT/distill_scale_sweep.stderr") \
       > "$OUT/distill_scale_sweep.rows"; then
@@ -183,7 +183,7 @@ fi
 # ---- 6. serving bench on the chip (ranker from step 4 if it landed)
 if [ ! -s "$OUT/serve_bench_tpu.json" ]; then
   log "start serve_bench_tpu"
-  PYTHONPATH=. timeout 2400 python scripts/serve_bench.py "$WD" \
+  PYTHONPATH=.:/root/.axon_site timeout 2400 python scripts/serve_bench.py "$WD" \
     "$OUT/serve_bench_tpu.json" 256 512 \
     2> >(tail -40 > "$OUT/serve_bench_tpu.stderr") \
     && log "done serve_bench_tpu" || log "FAILED serve_bench_tpu"

@@ -42,6 +42,46 @@ for i in $(seq 1 1400); do
   sleep 15
 done
 
+# ---- -1. retries for stages the earlier phases lost to the PYTHONPATH
+# bug (axon plugin lives on /root/.axon_site; overriding PYTHONPATH
+# dropped it and jax died on 'Unable to initialize backend axon')
+if [ ! -s "$OUT/distill_scale_sweep.json" ]; then
+  log "start distill_scale_sweep (phase3)"
+  if PYTHONPATH=.:/root/.axon_site timeout 5400 \
+      python scripts/distill_scale_sweep.py "$WD" \
+      "$OUT/distill_scale_sweep.json" \
+      2> >(tail -40 > "$OUT/distill_scale_sweep.stderr") \
+      > "$OUT/distill_scale_sweep.rows"; then
+    log "done distill_scale_sweep"
+  else
+    log "FAILED distill_scale_sweep (phase3)"
+  fi
+fi
+HARD=$(python - <<'EOF'
+import json
+try:
+    rows = json.load(open("artifacts/quality_hm_v4/distill_scale_sweep.json"))["rows"]
+    full = max(r["n_items"] for r in rows)
+    fid = {r["arm"]: r.get("fidelity", 0.0)
+           for r in rows if r["n_items"] == full}
+    print("yes" if fid.get("hard", 0.0) > fid.get("default", 0.0) + 0.1 else "no")
+except Exception:
+    print("no")
+EOF
+)
+log "hard-mining fixes fidelity at shape: $HARD"
+if [ "$HARD" = yes ]; then
+  run distill_r5_hard 3600 distill --set distill.hard_frac=0.5
+  [ -s "$OUT/distill_r5_hard.json" ] && run gnn_eval_r5h 5400 gnn-eval
+fi
+if [ ! -s "$OUT/serve_bench_tpu.json" ]; then
+  log "start serve_bench_tpu (phase3)"
+  PYTHONPATH=.:/root/.axon_site timeout 2400 python scripts/serve_bench.py \
+    "$WD" "$OUT/serve_bench_tpu.json" 256 512 \
+    2> >(tail -40 > "$OUT/serve_bench_tpu.stderr") \
+    && log "done serve_bench_tpu" || log "FAILED serve_bench_tpu (phase3)"
+fi
+
 # ---- 0. old-recipe hybrid EXTENDED (the decisive arm): the recipe run
 # measured 20.29%@100 after 4 low-LR epochs vs r4's 21.98 after 2
 # default-recipe epochs that were still rising +0.77pp/epoch when the
