@@ -39,14 +39,19 @@ def main():
     gi, _, _ = load_array_with_ids(f"{wd}/gnn_items")
     rng = np.random.default_rng(0)
     full = len(gi)
-    arms = []
-    for n in (5000, 25000, full):
-        if n > full:
-            continue
-        arms.append((n, "default", {}))
-        arms.append((n, "hard", {"hard_frac": 0.5}))
-    arms.append((full, "steps4x", {"epochs": 40}))
-    arms.append((full, "wide", {"hidden_dim": 512}))
+    # Most-valuable-first so a deadline kill still leaves the verdict:
+    # the at-shape default (reproduces the 0.034 collapse), the at-shape
+    # hard-mining fix arm, then the scale curve, then the capacity/steps
+    # control arms.
+    arms = [(full, "default", {}),
+            (full, "hard", {"hard_frac": 0.5}),
+            (5000, "default", {}),
+            (25000, "default", {}),
+            (5000, "hard", {"hard_frac": 0.5}),
+            (25000, "hard", {"hard_frac": 0.5}),
+            (full, "steps4x", {"epochs": 40}),
+            (full, "wide", {"hidden_dim": 512})]
+    arms = [(n, name, over) for n, name, over in arms if n <= full]
 
     results = []
     for n, name, over in arms:
@@ -62,9 +67,11 @@ def main():
                "overrides": over, **fid}
         print(json.dumps(row), flush=True)
         results.append(row)
-    with open(out_path, "w") as f:
-        json.dump({"command": "distill_scale_sweep", "rows": results}, f,
-                  indent=1)
+        # Incremental write: a deadline kill still leaves a valid JSON
+        # with every completed arm.
+        with open(out_path, "w") as f:
+            json.dump({"command": "distill_scale_sweep", "rows": results},
+                      f, indent=1)
 
 
 if __name__ == "__main__":
