@@ -68,6 +68,22 @@ def main():
                  item_tower=ItemTowerConfig(),
                  serve=ServeConfig(db_path=":memory:", mode="cosine",
                                    blend_backend="host"))
+    # Latency depends on matrix SHAPE, not which tower produced it. When
+    # the stage-2 eval export is absent (post-wipe world regenerated only
+    # through vectorize), alias the stage-1 content matrix so the bench
+    # still measures the full serving path — and label the provenance.
+    import os
+    import shutil
+
+    item_vectors = "stage2_eval"
+    if not os.path.exists(f"{world}/eval_item_matrix.npy") \
+            and os.path.exists(f"{world}/item_matrix.npy"):
+        for ext in (".npy", ".ids.json"):
+            shutil.copyfile(f"{world}/item_matrix{ext}",
+                            f"{world}/eval_item_matrix{ext}")
+        item_vectors = "stage1_content_fallback"
+        print("eval_item_matrix absent -> stage-1 content fallback",
+              file=sys.stderr)
     assets = load_recommend_assets(cfg)
     print(f"assets: {len(assets.item_ids)} items, vectors={assets.vectors}, "
           f"ranker={'yes' if assets.ranker else 'no'}", file=sys.stderr)
@@ -92,8 +108,24 @@ def main():
     seqs = seqs.sample(n=min(n_users * 10, len(seqs)), random_state=0)
     from recsys_tpu.train.checkpoint import load_array_with_ids
 
-    uv, uv_ids, _ = load_array_with_ids(f"{world}/eval_uvecs")
-    uv_of = {str(u): uv[r] for r, u in enumerate(uv_ids)}
+    user_vectors = "stage2_eval"
+    try:
+        uv, uv_ids, _ = load_array_with_ids(f"{world}/eval_uvecs")
+        uv_of = {str(u): uv[r] for r, u in enumerate(uv_ids)}
+    except FileNotFoundError:
+        # History-mean fallback (the training-free `history` user
+        # backend): same vector dim, same store/scoring costs.
+        user_vectors = "history_mean_fallback"
+        print("eval_uvecs absent -> history-mean fallback", file=sys.stderr)
+        id_row = {str(i): r for r, i in enumerate(assets.item_ids, start=1)}
+        uv_of = {}
+        for _, row in seqs.iterrows():
+            rows = [id_row[str(p)] for p in row["sequence"]
+                    if str(p) in id_row]
+            if rows:
+                v = assets.item_matrix[rows].mean(axis=0)
+                n = np.linalg.norm(v)
+                uv_of[str(row["user_id"])] = v / n if n > 0 else v
     users, sessions, uids = [], [], []
     rng = np.random.default_rng(0)
     for _, row in seqs.iterrows():
@@ -116,7 +148,8 @@ def main():
 
     req_uids = [uids[i] for i in rng.integers(0, len(uids), n_req)]
     out = {"world": world, "n_items": len(ids), "n_users": len(uids),
-           "n_requests": n_req, "direct": {}, "http": {}}
+           "n_requests": n_req, "item_vectors": item_vectors,
+           "user_vectors": user_vectors, "direct": {}, "http": {}}
 
     modes = [("cosine", "cosine", "host"), ("blend_host", "blend", "host"),
              ("blend_device", "blend", "device")]
